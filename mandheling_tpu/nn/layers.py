@@ -1,0 +1,116 @@
+"""NITI int8 layers: conv (+FC as 1x1 conv), relu, maxpool, flatten.
+
+Layer-level equivalents of the reference NN factory modules
+(`tools/train/source/nn/NN.cpp:1108-1320`: `NITI_Conv_Int8_Module`) and their
+grad rules (`grad/NITI_Conv_Int8_Grad.cpp`, `grad/NITI_ReluGrad_Int8.cpp`,
+`grad/NITI_Pool_Int8_Grad.cpp`). The weight exponent is initialized by the
+NITI Xavier scheme and stays constant during training: the reference's
+NITI_SGD updates only the int8 weight data (w <- clip(w - g)) and its grad
+rules return scalar-0 exponent gradients.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import conv as conv_ops
+from ..ops import pool as pool_ops
+from ..ops import relu as relu_ops
+from ..ops.qtensor import QTensor
+from .init import niti_xavier_int8
+from .module import NITILayer
+
+
+class NITIConv2D(NITILayer):
+    """int8 conv with NITI power-of-two requantization; FC layers are 1x1
+    convs over 1x1 spatial (reference LeNet ip1/ip2, mnistTrain.cpp:146-155).
+    """
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        kernel: Tuple[int, int] = (1, 1),
+        stride: Tuple[int, int] = (1, 1),
+        padding="VALID",
+    ):
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.kernel = tuple(kernel)
+        self.stride = tuple(stride)
+        self.padding = padding
+
+    def init(self, key):
+        kh, kw = self.kernel
+        return {
+            "w": niti_xavier_int8(key, (kh, kw, self.in_channels, self.out_channels))
+        }
+
+    def fwd(self, params, q: QTensor, axis_name=None):
+        w: QTensor = params["w"]
+        y, y_exp = conv_ops.conv2d_forward(
+            q.data, q.exp, w.data, w.exp, self.stride, self.padding, axis_name
+        )
+        # residual: forward input (for the filter grad) and its spatial dims
+        return QTensor(y, y_exp), q.data
+
+    def bwd(self, params, res, gy, axis_name=None):
+        x = res
+        w: QTensor = params["w"]
+        gx = conv_ops.conv2d_input_grad(
+            gy, w.data, (x.shape[1], x.shape[2]), self.stride, self.padding, axis_name
+        )
+        gw = conv_ops.conv2d_filter_grad(
+            x, gy, self.kernel, self.stride, self.padding, axis_name
+        )
+        return gx, {"w": QTensor(gw, jnp.int32(0))}
+
+
+class NITIRelu(NITILayer):
+    def fwd(self, params, q: QTensor, axis_name=None):
+        return QTensor(relu_ops.relu(q.data), q.exp), q.data
+
+    def bwd(self, params, res, gy, axis_name=None):
+        return relu_ops.relu_grad(res, gy), ()
+
+
+class NITIMaxPool(NITILayer):
+    def __init__(self, window=(2, 2), stride=(2, 2)):
+        self.window = tuple(window)
+        self.stride = tuple(stride)
+
+    def fwd(self, params, q: QTensor, axis_name=None):
+        y, e = pool_ops.maxpool2d(q.data, q.exp, self.window, self.stride)
+        return QTensor(y, e), (q.data, y)
+
+    def bwd(self, params, res, gy, axis_name=None):
+        x, y = res
+        return pool_ops.maxpool2d_grad(x, y, gy, self.window, self.stride), ()
+
+
+class Flatten(NITILayer):
+    """(B, H, W, C) -> (B, 1, 1, H*W*C); the reference's
+    `_Reshape(x, {0,-1,1,1})` before the FC-as-conv layers. Feature order is
+    NHWC-native here (the reference flattens NCHW); orderings only differ by
+    a fixed permutation absorbed by training-from-scratch FC weights."""
+
+    def fwd(self, params, q: QTensor, axis_name=None):
+        b = q.data.shape[0]
+        return QTensor(q.data.reshape(b, 1, 1, -1), q.exp), q.data.shape
+
+    def bwd(self, params, res, gy, axis_name=None):
+        return gy.reshape(res), ()
+
+
+class SqueezeLogits(NITILayer):
+    """(B, 1, 1, C) -> (B, C) for the loss; reshape-only, grad restores."""
+
+    def fwd(self, params, q: QTensor, axis_name=None):
+        b = q.data.shape[0]
+        return QTensor(q.data.reshape(b, -1), q.exp), q.data.shape
+
+    def bwd(self, params, res, gy, axis_name=None):
+        return gy.reshape(res), ()

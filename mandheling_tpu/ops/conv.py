@@ -1,0 +1,200 @@
+"""NITI int8 convolution: forward, input-gradient, and filter-gradient.
+
+TPU-native re-design of the reference kernels:
+
+- forward      `NITI_Conv_Int8`          (source/backend/cpu/NITI_Conv_Int8.cpp:19-324)
+- input grad   `NITI_DeCONV_Int8`        (source/backend/cpu/NITI_DeConv_Int8.cpp)
+- filter grad  `NITI_GradientCONV_Int8`  (source/backend/cpu/NITI_GradientConv_Int8.cpp)
+
+The reference lowers each to im2col + NEON int8 GEMM with NC4HW4 tiling, then
+a per-tensor range-estimate + pseudo-stochastic shift. On TPU the layout is
+NHWC/HWIO, the int8 x int8 -> int32 contraction is a single XLA convolution
+(or a Pallas MXU kernel, see ops/kernels/), and the requantization is the
+shared code in ops/numerics.py. Gradient wiring (rot180 weights for the input
+grad, batch<->channel transposition for the filter grad, zero-dilation of the
+output-diff for stride>1 — the reference's `_NITI_LeftPoolGrad` + pad chain,
+grad/NITI_Conv_Int8_Grad.cpp:92-123) is expressed through XLA's native
+lhs/rhs dilation instead of materializing intermediate tensors.
+
+All functions take/return int8 tensors plus int32 scalar exponents; shapes
+are static, exponents are traced scalars.
+
+For data parallelism, `axis_name` threads a mesh axis through the range
+estimates (cross-replica `pmax` of |acc|) and the filter-grad accumulation
+(cross-replica `psum` of the int32 accumulator *before* the single global
+shift) so sharded training is bit-identical to single-chip training.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import numerics
+from .kernels import dispatch as _dispatch
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _norm_padding(padding, kernel_shape) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    if isinstance(padding, str):
+        if padding.upper() == "VALID":
+            return ((0, 0), (0, 0))
+        if padding.upper() == "SAME":
+            kh, kw = kernel_shape[0], kernel_shape[1]
+            ph, pw = kh - 1, kw - 1
+            return ((ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2))
+        raise ValueError(f"unknown padding {padding}")
+    (pt, pb), (pl, pr) = padding
+    return ((pt, pb), (pl, pr))
+
+
+def _maybe_pmax(m: jax.Array, axis_name: Optional[str]) -> jax.Array:
+    if axis_name is None:
+        return m
+    return jax.lax.pmax(m, axis_name)
+
+
+def conv2d_int8_acc(
+    x: jax.Array,
+    w: jax.Array,
+    stride: Sequence[int] = (1, 1),
+    padding="VALID",
+) -> jax.Array:
+    """int8 NHWC x * int8 HWIO w -> int32 accumulator (the raw GEMM result)."""
+    pad = _norm_padding(padding, w.shape)
+    return _dispatch.conv_acc(x, w, tuple(stride), pad)
+
+
+def conv2d_forward(
+    x: jax.Array,
+    x_exp: jax.Array,
+    w: jax.Array,
+    w_exp: jax.Array,
+    stride: Sequence[int] = (1, 1),
+    padding="VALID",
+    axis_name: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """NITI int8 conv forward: (int8 y, int32 exp_out).
+
+    exp_out = x_exp + w_exp + shift where shift comes from the range
+    estimate of the int32 accumulator (NITI_Conv_Int8.cpp:255-307).
+    """
+    acc = conv2d_int8_acc(x, w, stride, padding)
+    m = _maybe_pmax(jnp.max(jnp.abs(acc)), axis_name)
+    bw = numerics.range_estimate_from_max(m)
+    exp_in = x_exp.astype(jnp.int32) + w_exp.astype(jnp.int32)
+    return numerics.requant_forward_from_bw(acc, exp_in, bw)
+
+
+def conv2d_input_grad_acc(
+    gy: jax.Array,
+    w: jax.Array,
+    x_spatial: Tuple[int, int],
+    stride: Sequence[int] = (1, 1),
+    padding="VALID",
+) -> jax.Array:
+    """int32 accumulator of the transposed conv (input gradient).
+
+    Equivalent to the reference chain: zero-dilate gy by the stride
+    (`_NITI_LeftPoolGrad`), pad to "full" overlap (`_NITI_Pad_Int8`), conv
+    with rot180/channel-swapped weights (DSP: `_NITI_DSP_WeightRotate180`;
+    CPU: DeCONV with `_NITI_Transpose_INT8(w, {1,0,2,3})`) — expressed here
+    via XLA lhs_dilation.
+    """
+    kh, kw, ic, oc = w.shape
+    (pt, _pb), (pl, _pr) = _norm_padding(padding, w.shape)
+    sh, sw = stride
+    # rotate 180 spatially + swap in/out channels
+    w_rot = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)  # HWIO -> HW,O,I
+    ih, iw = x_spatial
+    oh, ow = gy.shape[1], gy.shape[2]
+    # full-correlation padding, adjusted so output spatial == input spatial
+    pad_top = kh - 1 - pt
+    pad_left = kw - 1 - pl
+    dil_h = (oh - 1) * sh + 1
+    dil_w = (ow - 1) * sw + 1
+    pad_bottom = ih - dil_h - pad_top + kh - 1
+    pad_right = iw - dil_w - pad_left + kw - 1
+    return _dispatch.conv_acc(
+        gy,
+        w_rot,
+        (1, 1),
+        ((pad_top, pad_bottom), (pad_left, pad_right)),
+        lhs_dilation=(sh, sw),
+    )
+
+
+def conv2d_input_grad(
+    gy: jax.Array,
+    w: jax.Array,
+    x_spatial: Tuple[int, int],
+    stride: Sequence[int] = (1, 1),
+    padding="VALID",
+    axis_name: Optional[str] = None,
+) -> jax.Array:
+    """int8 input gradient with the forward-style bw-7 requant
+    (NITI_DeConv_Int8.cpp:294-318; gradient exponents are not threaded —
+    the reference's grad rules return scalar-0 exponents).
+    """
+    acc = conv2d_input_grad_acc(gy, w, x_spatial, stride, padding)
+    m = _maybe_pmax(jnp.max(jnp.abs(acc)), axis_name)
+    bw = numerics.range_estimate_from_max(m)
+    out, _ = numerics.requant_forward_from_bw(acc, jnp.int32(0), bw)
+    return out
+
+
+def conv2d_filter_grad_acc(
+    x: jax.Array,
+    gy: jax.Array,
+    kernel_spatial: Tuple[int, int],
+    stride: Sequence[int] = (1, 1),
+    padding="VALID",
+) -> jax.Array:
+    """int32 accumulator of the filter gradient, shape HWIO.
+
+    dw[kh,kw,ic,oc] = sum_{b,oh,ow} x[b, oh*s+kh, ow*s+kw, ic] * gy[b,oh,ow,oc]
+
+    The reference computes this as a conv of batch<->channel-transposed
+    activations with the transposed output-diff as kernel
+    (NITI_GradientConv_Int8.cpp; grad wiring NITI_Conv_Int8_Grad.cpp:134-190);
+    on TPU it is one conv with batch as the contraction dim and rhs_dilation
+    carrying the forward stride.
+    """
+    pad = _norm_padding(padding, kernel_spatial + x.shape[3:])
+    # lhs: treat Cin as batch, B as features -> (Cin, H, W, B)
+    lhs = x.transpose(3, 1, 2, 0)
+    # rhs: gy as kernel (Hout, Wout, B, Cout)
+    rhs = gy.transpose(1, 2, 0, 3)
+    acc = _dispatch.conv_acc(
+        lhs,
+        rhs,
+        (1, 1),
+        pad,
+        rhs_dilation=tuple(stride),
+    )  # (Cin, kh, kw, Cout)
+    return acc.transpose(1, 2, 0, 3)  # HWIO
+
+
+def conv2d_filter_grad(
+    x: jax.Array,
+    gy: jax.Array,
+    kernel_spatial: Tuple[int, int],
+    stride: Sequence[int] = (1, 1),
+    padding="VALID",
+    axis_name: Optional[str] = None,
+) -> jax.Array:
+    """int8 filter gradient with the aggressive bw-2 shift
+    (NITI_GradientConv_Int8.cpp:274-296). All-zero accumulators stay zero.
+
+    With `axis_name`, the int32 accumulator is allreduced (psum) across the
+    data axis before the single global range-estimate + shift — the exact-sum
+    strategy from SURVEY.md section 7 (int32 pre-shift allreduce).
+    """
+    acc = conv2d_filter_grad_acc(x, gy, kernel_spatial, stride, padding)
+    if axis_name is not None:
+        acc = jax.lax.psum(acc, axis_name)
+    bw = numerics.range_estimate(acc)
+    return numerics.requant_grad_from_bw(acc, bw, margin=2)

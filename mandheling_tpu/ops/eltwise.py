@@ -1,0 +1,45 @@
+"""NITI int8 elementwise ops (residual adds) and padding.
+
+Reference: `NITI_Eltwise_Int8.cpp:26` (int8 eltwise used for residual
+connections) and `NITI_PAD_Int8` (symmetric spatial zero-pad).
+
+For residual adds of two QTensors with different exponents, the smaller-
+exponent operand is right-shifted to the larger exponent before the int32
+add, then the sum is requantized forward-style — keeping everything
+power-of-two (the mixed-precision CNN configs in SURVEY.md section 7 step 5).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import numerics
+
+
+def add_int8(
+    a: jax.Array, a_exp: jax.Array, b: jax.Array, b_exp: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Exponent-aligned int8 residual add -> (int8, exp_out).
+
+    align to max(a_exp, b_exp): x >> (max_exp - x_exp), int32 sum, then
+    forward requant (shift = bw - 7 rules) relative to the aligned exponent.
+    """
+    a_exp = a_exp.astype(jnp.int32)
+    b_exp = b_exp.astype(jnp.int32)
+    e = jnp.maximum(a_exp, b_exp)
+    ai = jax.lax.div(
+        a.astype(jnp.int32), jnp.left_shift(jnp.int32(1), e - a_exp)
+    )
+    bi = jax.lax.div(
+        b.astype(jnp.int32), jnp.left_shift(jnp.int32(1), e - b_exp)
+    )
+    acc = ai + bi
+    return numerics.requant_forward(acc, e)
+
+
+def pad_int8(x: jax.Array, pad: int) -> jax.Array:
+    """Symmetric spatial zero-pad of an NHWC int8 tensor (NITI_PAD_Int8)."""
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))

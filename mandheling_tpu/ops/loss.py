@@ -1,0 +1,97 @@
+"""NITI integer-only softmax cross-entropy: float loss value + int8 gradient.
+
+Reference:
+- loss value (float, logging only): `NITI_CPULoss_Int8.cpp:69-131` —
+  dequantize logits by 2^ascale, float softmax, mean negative log-likelihood.
+- loss gradient (integer-only):     `NITI_CPULossGrad_Int8.cpp:84-200` and the
+  identical DSP op `hexagon_nn/2.10.1/hexagon/ops/src/op_loss.c:124-260`:
+
+    if ascale > -7:
+        s     = trunc(x * 47274 / 2^15) * 2^ascale      # 47274/2^15 ~ log2(e)... see note
+        m     = max_c(s) - 10
+        soft  = 2^max(s - m, 0) - 1                     # base-2 exp approx, 10-bit range
+    else:  # tiny-scale quadratic fallback
+        soft  = 2^(1-2a) + x*2^(1-a) + x^2              # ~ (x + 2^-a)^2 + ...
+    p     = trunc(soft * 2^11 / sum_c(soft))            # normalize to ~2^11
+    g     = p - (sum_c p) * onehot(target)
+    out   = psto_shift(g, 4) -> int8
+
+Note: 47274/2^15 = 1.4427 = log2(e)... the constant converts natural-log-ish
+scaling; we reproduce the exact integer arithmetic, including C truncating
+division, so results are bit-identical to the CPU and DSP reference kernels.
+
+All arithmetic fits int32 for the scales seen in training (|s| <= ~2^9 for
+ascale in [-12, 3]; the quadratic branch needs 2^(1-2*ascale) so ascale is
+clamped to >= -15 to stay inside int32 — the reference would overflow int64
+only below ascale = -31).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import numerics
+
+
+def loss_cross_entropy_float(
+    logits: jax.Array, ascale: jax.Array, target_onehot: jax.Array
+) -> jax.Array:
+    """Float CE value for logging (NITI_CPULoss_Int8.cpp:69-131).
+
+    logits: int8 (B, C); ascale: int32 scalar; target_onehot: (B, C) {0,1}.
+    """
+    x = logits.astype(jnp.float32) * jnp.exp2(ascale.astype(jnp.float32))
+    logp = jax.nn.log_softmax(x, axis=-1)
+    per_sample = jnp.sum(logp * target_onehot.astype(jnp.float32), axis=-1)
+    return -jnp.mean(per_sample)
+
+
+def loss_grad_int8(
+    logits: jax.Array, ascale: jax.Array, target_onehot: jax.Array
+) -> jax.Array:
+    """Integer-only softmax-CE gradient -> int8 (B, C).
+
+    Bit-exact port of NITI_CPULossGrad_Int8.cpp:84-200 (int32 arithmetic; the
+    reference uses int64 but every intermediate fits int32 for realistic
+    ascale — see module docstring).
+    """
+    x = logits.astype(jnp.int32)
+    a = jnp.clip(ascale.astype(jnp.int32), -14, 15)
+
+    def branch_linear(x, a):
+        # s = trunc(x * 47274 / 2^15) * 2^a   (trunc division, both signs)
+        t = jax.lax.div(x * 47274, jnp.int32(1 << 15))
+        pos = t * jnp.left_shift(jnp.int32(1), jnp.maximum(a, 0))
+        neg = jax.lax.div(t, jnp.left_shift(jnp.int32(1), jnp.maximum(-a, 0)))
+        s = jnp.where(a >= 0, pos, neg)
+        m = jnp.max(s, axis=-1, keepdims=True) - 10
+        e = jnp.maximum(s - m, 0)
+        return jnp.left_shift(jnp.int32(1), e) - 1
+
+    def branch_quadratic(x, a):
+        base = jnp.left_shift(jnp.int32(1), 1 - 2 * a)
+        shiftbase = jnp.left_shift(jnp.int32(1), 1 - a)
+        return base + x * shiftbase + x * x
+
+    soft = jnp.where(a > -7, branch_linear(x, a), branch_quadratic(x, a))
+
+    ssum = jnp.sum(soft, axis=-1, keepdims=True)
+    p = jax.lax.div(soft * jnp.int32(1 << 11), ssum)
+    psum = jnp.sum(p, axis=-1, keepdims=True)
+    g = p - psum * target_onehot.astype(jnp.int32)
+    return numerics.psto_shift_int8(g, jnp.int32(4))
+
+
+def loss_and_grad(
+    logits: jax.Array, ascale: jax.Array, target_onehot: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """(float loss for logging, int8 gradient) in one call — the TPU analog
+    of the reference's `_NITI_LOSS_SUM` forward + `NITI_LOSS_Grad_Int8`
+    backward pair (grad/NITI_SoftmaxGrad.cpp:41-67)."""
+    return (
+        loss_cross_entropy_float(logits, ascale, target_onehot),
+        loss_grad_int8(logits, ascale, target_onehot),
+    )

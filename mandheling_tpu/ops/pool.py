@@ -1,0 +1,122 @@
+"""NITI int8 max-pooling forward/backward and LeftPoolGrad (zero-dilation).
+
+Reference:
+- forward  `NITI_Maxpool_Int8`  (source/backend/cpu/NITI_Maxpool_Int8.cpp:40-206)
+  int8 NHWC max pool; the scale exponent passes through unchanged.
+- backward `NITI_PoolGrad_Int8` (source/backend/cpu/NITI_CPUPoolGrad_Int8.cpp:21-77)
+  re-derives the argmax by comparing each window element against the pooled
+  output and routes the gradient to the FIRST matching position (scan order),
+  accumulating with plain int8 addition.
+- `NITI_CPULeftPoolGrad_Int8` (zero-insertion upsample used for stride-2
+  conv gradients) — on TPU this is XLA lhs_dilation inside ops/conv.py; a
+  standalone version is kept here for op-level parity.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def maxpool2d(
+    x: jax.Array,
+    x_exp: jax.Array,
+    window: Sequence[int] = (2, 2),
+    stride: Sequence[int] = (2, 2),
+) -> Tuple[jax.Array, jax.Array]:
+    """int8 NHWC max pool; exponent passthrough."""
+    kh, kw = window
+    sh, sw = stride
+    y = jax.lax.reduce_window(
+        x,
+        jnp.int8(-128),
+        jax.lax.max,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding="VALID",
+    )
+    return y, x_exp
+
+
+def maxpool2d_grad(
+    x: jax.Array,
+    y: jax.Array,
+    gy: jax.Array,
+    window: Sequence[int] = (2, 2),
+    stride: Sequence[int] = (2, 2),
+) -> jax.Array:
+    """Route gy to the first (row-major scan order) window position whose
+    forward value >= pooled max, accumulating in int8 like the reference
+    (`dst[j] = dst[j] + diffValue[j]`, NITI_CPUPoolGrad_Int8.cpp:60-66).
+
+    Implemented gather-style per input position: for each input element,
+    sum the gy of all windows for which this element is the designated
+    first-argmax. Window counts are static so the loop unrolls at trace
+    time into vectorized selects.
+    """
+    kh, kw = window
+    sh, sw = stride
+    b, ih, iw, c = x.shape
+    oh, ow = y.shape[1], y.shape[2]
+
+    # first-argmax flag per window position: x[pos] == max and no earlier
+    # position matched. Build window-stacked views of x.
+    patches = []
+    for dy in range(kh):
+        for dx in range(kw):
+            patches.append(
+                jax.lax.slice(
+                    x,
+                    (0, dy, dx, 0),
+                    (b, dy + (oh - 1) * sh + 1, dx + (ow - 1) * sw + 1, c),
+                    (1, sh, sw, 1),
+                )
+            )
+    stacked = jnp.stack(patches)  # (kh*kw, B, oh, ow, C)
+    is_max = stacked >= y[None]
+    earlier = jnp.cumsum(is_max.astype(jnp.int32), axis=0) - is_max.astype(jnp.int32)
+    first = jnp.logical_and(is_max, earlier == 0)  # exactly one True per window
+
+    gx = jnp.zeros((b, ih, iw, c), jnp.int8)
+    idx = 0
+    for dy in range(kh):
+        for dx in range(kw):
+            contrib = jnp.where(first[idx], gy, jnp.int8(0))
+            # scatter-add into the strided positions; with stride >= window
+            # the windows are disjoint so dynamic_update via padding works.
+            scattered = jnp.zeros((b, ih, iw, c), jnp.int8)
+            scattered = jax.lax.dynamic_update_slice(
+                scattered,
+                _dilate(contrib, sh, sw),
+                (0, dy, dx, 0),
+            )
+            gx = gx + scattered  # int8 add, wraps like the reference
+            idx += 1
+    return gx
+
+
+def _dilate(g: jax.Array, sh: int, sw: int) -> jax.Array:
+    """Zero-insert between elements: out[..., i*sh, j*sw, ...] = g[..., i, j, ...]."""
+    if sh == 1 and sw == 1:
+        return g
+    b, oh, ow, c = g.shape
+    out = jnp.zeros((b, (oh - 1) * sh + 1, (ow - 1) * sw + 1, c), g.dtype)
+    return out.at[:, ::sh, ::sw, :].set(g)
+
+
+def left_pool_grad(
+    gy: jax.Array, out_spatial: Sequence[int], stride: Sequence[int] = (2, 2)
+) -> jax.Array:
+    """Zero-insertion upsample (`NITI_CPULeftPoolGrad_Int8.cpp:18-52`):
+    out[y, x] = gy[y/s, x/s] when y%s == 0 and x%s == 0, else 0.
+    """
+    sh, sw = stride
+    oh, ow = out_spatial
+    b, ih, iw, c = gy.shape
+    out = jnp.zeros((b, oh, ow, c), gy.dtype)
+    # positions y in range(0, oh, sh) read gy[y//sh]; clip to available input
+    ny = min(ih, (oh + sh - 1) // sh)
+    nx = min(iw, (ow + sw - 1) // sw)
+    return out.at[:, : ny * sh : sh, : nx * sw : sw, :].set(gy[:, :ny, :nx, :])

@@ -1,0 +1,168 @@
+"""Tests for maxpool fwd/bwd, relu, and the integer loss gradient against
+pure-Python mirrors of the reference C kernels."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mandheling_tpu.ops import loss as loss_ops
+from mandheling_tpu.ops import pool as pool_ops
+from mandheling_tpu.ops import relu as relu_ops
+
+
+def c_trunc_div(a, b):
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def py_psto_shift(x, shift):
+    round_temp = c_trunc_div(x, 1 << shift)
+    prob = abs(x - round_temp * (1 << shift))
+    qprob = prob // (1 << (shift // 2))
+    prand = prob - qprob * (1 << (shift // 2))
+    if shift % 2 == 1:
+        prand *= 2
+    r = 1 if qprob > prand else 0
+    s = 1 if x > 0 else (-1 if x < 0 else 0)
+    return max(-127, min(127, round_temp + r * s))
+
+
+def test_maxpool_forward():
+    rng = np.random.default_rng(0)
+    x = rng.integers(-100, 100, (2, 8, 8, 4)).astype(np.int8)
+    y, e = pool_ops.maxpool2d(jnp.asarray(x), jnp.int32(-4))
+    assert int(e) == -4
+    expected = x.reshape(2, 4, 2, 4, 2, 4).max(axis=(2, 4))
+    np.testing.assert_array_equal(np.asarray(y), expected)
+
+
+def py_maxpool_grad(x, y, gy, kh, kw, sh, sw):
+    """Mirror of NITI_CPUPoolGrad_Int8.cpp:21-77: first scan-order argmax
+    (>= pooled output) receives the int8-added gradient."""
+    b, ih, iw, c = x.shape
+    _, oh, ow, _ = y.shape
+    gx = np.zeros((b, ih, iw, c), np.int8)
+    for bi in range(b):
+        for ci in range(c):
+            for yy in range(oh):
+                for xx in range(ow):
+                    done = False
+                    for ky in range(kh):
+                        for kx in range(kw):
+                            sy, sx = yy * sh + ky, xx * sw + kx
+                            if sy >= ih or sx >= iw or done:
+                                continue
+                            if x[bi, sy, sx, ci] >= y[bi, yy, xx, ci]:
+                                done = True
+                                gx[bi, sy, sx, ci] = np.int8(
+                                    int(gx[bi, sy, sx, ci]) + int(gy[bi, yy, xx, ci])
+                                )
+    return gx
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 8, 4), (1, 6, 6, 3)])
+def test_maxpool_grad_first_argmax(shape):
+    rng = np.random.default_rng(1)
+    x = rng.integers(-50, 50, shape).astype(np.int8)
+    xq = jnp.asarray(x)
+    y, _ = pool_ops.maxpool2d(xq, jnp.int32(0))
+    gy = rng.integers(-50, 50, np.asarray(y).shape).astype(np.int8)
+    got = np.asarray(pool_ops.maxpool2d_grad(xq, y, jnp.asarray(gy)))
+    expected = py_maxpool_grad(x, np.asarray(y), gy, 2, 2, 2, 2)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_left_pool_grad():
+    rng = np.random.default_rng(2)
+    gy = rng.integers(-50, 50, (1, 3, 3, 4)).astype(np.int8)
+    out = np.asarray(pool_ops.left_pool_grad(jnp.asarray(gy), (6, 6), (2, 2)))
+    expected = np.zeros((1, 6, 6, 4), np.int8)
+    expected[:, ::2, ::2, :] = gy
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_relu_and_grad():
+    x = np.array([-5, 0, 3, 127, -128], np.int8)
+    gy = np.array([10, 20, 30, 40, 50], np.int8)
+    np.testing.assert_array_equal(
+        np.asarray(relu_ops.relu(jnp.asarray(x))), np.maximum(x, 0)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(relu_ops.relu_grad(jnp.asarray(x), jnp.asarray(gy))),
+        np.where(x > 0, gy, 0).astype(np.int8),
+    )
+
+
+def py_loss_grad(logits, ascale, onehot):
+    """Mirror of NITI_CPULossGrad_Int8.cpp:84-200."""
+    b, c = logits.shape
+    if ascale > -7:
+        s = np.zeros((b, c), np.int64)
+        for i in range(b):
+            for j in range(c):
+                t = c_trunc_div(int(logits[i, j]) * 47274, 1 << 15)
+                if ascale >= 0:
+                    s[i, j] = t * (1 << ascale)
+                else:
+                    s[i, j] = c_trunc_div(t, 1 << (-ascale))
+        soft = np.zeros((b, c), np.int64)
+        for i in range(b):
+            m = s[i].max() - 10
+            for j in range(c):
+                t = max(int(s[i, j]) - m, 0)
+                soft[i, j] = (1 << t) - 1
+    else:
+        soft = np.zeros((b, c), np.int64)
+        base = 1 << (1 - 2 * ascale)
+        shiftbase = 1 << (1 - ascale)
+        for i in range(b):
+            for j in range(c):
+                t = int(logits[i, j])
+                soft[i, j] = base + t * shiftbase + t * t
+
+    out = np.zeros((b, c), np.int8)
+    for i in range(b):
+        ssum = int(soft[i].sum())
+        p = [c_trunc_div(int(soft[i, j]) * (1 << 11), ssum) for j in range(c)]
+        psum = sum(p)
+        tgt = int(np.argmax(onehot[i]))
+        g = list(p)
+        g[tgt] = p[tgt] - psum
+        for j in range(c):
+            out[i, j] = py_psto_shift(g[j], 4)
+    return out
+
+
+@pytest.mark.parametrize("ascale", [-9, -7, -5, -3, 0, 2])
+def test_loss_grad_bit_exact(ascale):
+    rng = np.random.default_rng(10 + ascale)
+    b, c = 8, 12
+    logits = rng.integers(-127, 128, (b, c)).astype(np.int8)
+    targets = rng.integers(0, 10, b)
+    onehot = np.zeros((b, c), np.int32)
+    onehot[np.arange(b), targets] = 1
+    got = np.asarray(
+        loss_ops.loss_grad_int8(
+            jnp.asarray(logits), jnp.int32(ascale), jnp.asarray(onehot)
+        )
+    )
+    expected = py_loss_grad(logits, ascale, onehot)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_loss_float_value():
+    rng = np.random.default_rng(0)
+    b, c = 4, 12
+    logits = rng.integers(-100, 100, (b, c)).astype(np.int8)
+    onehot = np.zeros((b, c), np.int32)
+    onehot[np.arange(b), rng.integers(0, 10, b)] = 1
+    ascale = -5
+    x = logits.astype(np.float64) * 2.0**ascale
+    p = np.exp(x) / np.exp(x).sum(-1, keepdims=True)
+    expected = -np.mean(np.log(p[onehot.astype(bool)]))
+    got = float(
+        loss_ops.loss_cross_entropy_float(
+            jnp.asarray(logits), jnp.int32(ascale), jnp.asarray(onehot)
+        )
+    )
+    assert abs(got - expected) < 1e-4

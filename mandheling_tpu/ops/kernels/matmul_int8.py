@@ -65,25 +65,23 @@ def matmul_acc_pallas_padded(
     out = pl.pallas_call(
         _matmul_kernel,
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.int32),
-        grid_spec=pl.GridSpec(
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (tile_m, tile_k),
-                    lambda i, j, kk: (i, kk),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (tile_k, tile_n),
-                    lambda i, j, kk: (kk, j),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (tile_m, tile_n),
-                lambda i, j, kk: (i, j),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (tile_m, tile_k),
+                lambda i, j, kk: (i, kk),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (tile_k, tile_n),
+                lambda i, j, kk: (kk, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, tile_n),
+            lambda i, j, kk: (i, j),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.int32)],
         compiler_params=pltpu.CompilerParams(

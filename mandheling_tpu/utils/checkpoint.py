@@ -1,0 +1,72 @@
+"""Checkpoint / snapshot: save and restore the training state pytree.
+
+Reference: `Variable::save/load` serializing VARPs to .mnn flatbuffers
+(`express/Expr.cpp:731-938`), used by the MnistTrainSnapshot demo
+(`demo/mnistTrain.cpp:340-360`) and `ParameterOptimizer::currentStep`
+(`optimizer/ParameterOptimizer.cpp:64-70`). The TPU-native equivalent is a
+flat npz of the (int8 weights, exponents, step, optimizer-state) pytree —
+dependency-free and exact for integer state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Tuple
+
+import jax
+import numpy as np
+
+from ..ops.qtensor import QTensor
+
+
+def _flatten_with_paths(tree: Any):
+    flat, treedef = jax.tree.flatten_with_path(tree)
+    out = {}
+    for path, leaf in flat:
+        key = "/".join(str(p) for p in path)
+        out[key] = np.asarray(leaf)
+    return out, treedef
+
+
+def save_checkpoint(path: str, params: Any, step: int = 0, extra: Any = None):
+    """Save a params pytree (+step) to an .npz; atomic via temp rename."""
+    arrays, _ = _flatten_with_paths(params)
+    meta = {"step": int(step)}
+    if extra is not None:
+        meta["extra"] = extra
+    tmp = path + ".tmp"
+    np.savez(tmp, __meta__=json.dumps(meta), **arrays)
+    # np.savez appends .npz to the temp name
+    os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+
+
+def load_checkpoint(path: str, params_template: Any) -> Tuple[Any, int]:
+    """Restore into the structure of `params_template` -> (params, step)."""
+    with np.load(path, allow_pickle=False) as data:
+        meta = json.loads(str(data["__meta__"]))
+        arrays = {k: data[k] for k in data.files if k != "__meta__"}
+    flat, treedef = jax.tree.flatten_with_path(params_template)
+    leaves = []
+    for path_keys, leaf in flat:
+        key = "/".join(str(p) for p in path_keys)
+        if key not in arrays:
+            raise KeyError(f"checkpoint missing leaf {key!r}")
+        arr = arrays[key]
+        assert arr.shape == np.asarray(leaf).shape, (
+            f"shape mismatch at {key}: {arr.shape} vs {np.asarray(leaf).shape}"
+        )
+        leaves.append(jax.numpy.asarray(arr, dtype=np.asarray(leaf).dtype))
+    return jax.tree.unflatten(treedef, leaves), meta["step"]
+
+
+def quantize_params_tree(float_params: Any) -> Any:
+    """Turn an fp32 weight pytree into NITI QTensors — the analog of
+    `Transformer::turnModelToTrainable` (transformer/Transformer.cpp:69):
+    convert a trained/loaded float model into int8 trainable state."""
+    from ..ops.qtensor import quantize_weights
+
+    def q(leaf):
+        return quantize_weights(leaf)
+
+    return jax.tree.map(q, float_params)

@@ -1,0 +1,65 @@
+"""Step timing, throughput counters, and optional XLA trace capture.
+
+Reference: AUTOTIME scoped timers (`include/MNN/AutoTime.hpp`) and the
+express per-op profiler (`Executor::Profiler`, express/Executor.cpp:34-77).
+Per-op detail on TPU comes free from the XLA profiler; what we build is the
+epoch/step timing + samples/s counters the training loops print
+(MnistUtils.cpp:128-147) plus a jax.profiler trace hook.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Optional
+
+
+class StepTimer:
+    """Accumulates step wall-times; reports ms/step and samples/s."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self._times = []
+        self._samples = 0
+
+    @contextlib.contextmanager
+    def step(self, n_samples: int):
+        t0 = time.perf_counter()
+        yield
+        self._times.append(time.perf_counter() - t0)
+        self._samples += n_samples
+
+    @property
+    def total_s(self) -> float:
+        return sum(self._times)
+
+    @property
+    def ms_per_step(self) -> float:
+        return 1000.0 * self.total_s / max(len(self._times), 1)
+
+    @property
+    def samples_per_sec(self) -> float:
+        return self._samples / self.total_s if self.total_s else 0.0
+
+    def summary(self) -> str:
+        return (
+            f"{len(self._times)} steps, {self.ms_per_step:.2f} ms/step, "
+            f"{self.samples_per_sec:.0f} samples/s"
+        )
+
+
+@contextlib.contextmanager
+def xla_trace(logdir: Optional[str]):
+    """Capture an XLA profiler trace (view with tensorboard/xprof)."""
+    if not logdir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -1,0 +1,307 @@
+#!/usr/bin/env python
+"""run_train_demo — the CLI demo registry.
+
+TPU-native analog of the reference's `runTrainDemo.out` + DemoUnitSet
+(`tools/train/source/demo/DemoUnit.hpp:40-98`, `demoMain.cpp:11`). Same
+config names:
+
+    python tools/run_train_demo.py MnistTrain        [mnist_root] [--epochs N]
+    python tools/run_train_demo.py NITIInt8Train     [mnist_root] [--epochs N]
+    python tools/run_train_demo.py NITIDSPInt8Train  [mnist_root] [--epochs N]
+    python tools/run_train_demo.py MnistInt8Train    [mnist_root] [--epochs N]
+    python tools/run_train_demo.py MnistTrainSnapshot [mnist_root]
+    python tools/run_train_demo.py DistributedNITITrain [mnist_root]
+    python tools/run_train_demo.py NnGradTest
+    python tools/run_train_demo.py DataLoaderDemo    [mnist_root]
+    python tools/run_train_demo.py LinearRegression
+
+`NITIDSPInt8Train` runs the identical int8 graph through the Pallas MXU
+kernels (the "offload everything to the accelerator" config); `NITIInt8Train`
+uses the XLA lowering. Both are a single cached accelerator program per
+iteration; numerics are bit-identical (tests/test_pallas_kernels.py).
+Without an MNIST root on disk, a deterministic synthetic dataset is used.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEMOS = {}
+
+
+def demo(name):
+    def wrap(fn):
+        DEMOS[name] = fn
+        return fn
+
+    return wrap
+
+
+def _data(root, synth_n=8192):
+    from mandheling_tpu.data import load_or_synthesize
+
+    train = load_or_synthesize(root, train=True, synth_n=synth_n)
+    test = load_or_synthesize(root, train=False, synth_n=synth_n)
+    if not train[2]:
+        print("(no MNIST idx files found — using synthetic dataset)")
+    return (train[0], train[1]), (test[0], test[1])
+
+
+@demo("MnistTrain")
+def mnist_train(args):
+    from mandheling_tpu.train.trainer import train_fp32
+
+    train, test = _data(args.root)
+    _, acc = train_fp32(train, test, epochs=args.epochs)
+    print(f"final test accuracy: {acc:.4f}")
+
+
+@demo("NITIInt8Train")
+def niti_train(args):
+    from mandheling_tpu.train.trainer import train_niti
+
+    train, test = _data(args.root)
+    _, acc = train_niti(train, test, epochs=args.epochs,
+                        checkpoint_path=args.snapshot)
+    print(f"final test accuracy: {acc:.4f}")
+
+
+@demo("NITIDSPInt8Train")
+def niti_dsp_train(args):
+    from mandheling_tpu.ops.kernels import use_backend
+    from mandheling_tpu.train.trainer import train_niti
+
+    train, test = _data(args.root)
+    with use_backend("pallas"):
+        _, acc = train_niti(train, test, epochs=args.epochs)
+    print(f"final test accuracy: {acc:.4f}")
+
+
+@demo("MnistTrainSnapshot")
+def mnist_train_snapshot(args):
+    """Resume NITI training from mnist.snapshot.npz (the reference's
+    MnistTrainSnapshot loads mnist.snapshot.mnn, mnistTrain.cpp:340-360)."""
+    import jax
+
+    from mandheling_tpu.models import lenet_niti
+    from mandheling_tpu.train.trainer import train_niti
+    from mandheling_tpu.utils.checkpoint import load_checkpoint
+
+    snap = args.snapshot or "mnist.snapshot.npz"
+    train, test = _data(args.root)
+    start_params, start_epoch = None, 0
+    if os.path.exists(snap):
+        template = lenet_niti().init(jax.random.PRNGKey(0))
+        start_params, start_epoch = load_checkpoint(snap, template)
+        print(f"resumed from {snap} at epoch {start_epoch}")
+    _, acc = train_niti(
+        train, test, epochs=args.epochs, checkpoint_path=snap,
+        start_params=start_params, start_epoch=start_epoch,
+    )
+    print(f"final test accuracy: {acc:.4f}")
+
+
+@demo("MnistInt8Train")
+def mnist_int8_train(args):
+    """Fake-quant QAT training (reference MnistInt8Train)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mandheling_tpu.data import DataLoader, onehot_padded
+    from mandheling_tpu.models.lenet_qat import LeNetQAT
+    from mandheling_tpu.train.optim import lr_inv, sgd_init, sgd_update
+
+    (x, y), (xt, yt) = _data(args.root)
+    model = LeNetQAT(bits=8)
+    params, obs = model.init(jax.random.PRNGKey(0))
+    velocity = sgd_init(params)
+
+    def loss_fn(p, o, xb, oh, key):
+        logits, new_o = model.apply(p, o, xb, dropout_key=key, training=True)
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.sum(logp * oh, axis=-1)), new_o
+
+    @jax.jit
+    def step(p, o, v, xb, oh, lr, key):
+        (loss, new_o), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, o, xb, oh, key
+        )
+        p, v = sgd_update(p, g, v, lr)
+        return p, new_o, v, loss
+
+    @jax.jit
+    def predict(p, o, xb):
+        logits, _ = model.apply(p, o, xb, training=False)
+        return jnp.argmax(logits, axis=-1)
+
+    dl = DataLoader(x, y, 64, seed=0)
+    key = jax.random.PRNGKey(1)
+    it = 0
+    for epoch in range(args.epochs):
+        for bx, by in dl.epoch():
+            key, sub = jax.random.split(key)
+            bx = (bx / 255.0 - 0.5) * 2.0
+            oh = onehot_padded(by, 10, 10).astype(np.float32)
+            params, obs, velocity, loss = step(
+                params, obs, velocity, jnp.asarray(bx), jnp.asarray(oh),
+                lr_inv(0.01, it), sub,
+            )
+            it += 1
+        n = (len(xt) // 64) * 64
+        correct = 0
+        for i in range(0, n, 64):
+            bx = (xt[i : i + 64].astype(np.float32) / 255.0 - 0.5) * 2.0
+            pred = predict(params, obs, jnp.asarray(bx))
+            correct += int(np.sum(np.asarray(pred) == yt[i : i + 64]))
+        print(f"epoch {epoch}: loss {float(loss):.4f} test_acc {correct/max(n,1):.4f}")
+
+
+@demo("DistributedNITITrain")
+def distributed_niti_train(args):
+    """Data-parallel NITI training over all available devices."""
+    import jax
+    import jax.numpy as jnp
+
+    from mandheling_tpu.data import DataLoader, onehot_padded
+    from mandheling_tpu.models import NITI_LOGIT_CHANNELS, lenet_niti
+    from mandheling_tpu.parallel import (
+        data_mesh,
+        make_dp_eval_step,
+        make_dp_train_step,
+        replicate,
+        shard_batch,
+    )
+
+    n = len(jax.devices())
+    mesh = data_mesh(n)
+    print(f"mesh: {n} devices, data-parallel")
+    (x, y), (xt, yt) = _data(args.root)
+    model = lenet_niti()
+    params = replicate(mesh, model.init(jax.random.PRNGKey(0)))
+    step = make_dp_train_step(model, mesh, donate=False)
+    evals = make_dp_eval_step(model, mesh)
+
+    batch = 64 * n
+    dl = DataLoader(x, y, batch, seed=0)
+    import numpy as np
+
+    for epoch in range(args.epochs):
+        loss = None
+        for bx, by in dl.epoch():
+            oh = onehot_padded(by, 10, NITI_LOGIT_CHANNELS)
+            bx_s, oh_s = shard_batch(mesh, jnp.asarray(bx), jnp.asarray(oh))
+            params, loss = step(params, bx_s, oh_s)
+        nt = (len(xt) // batch) * batch
+        correct = 0
+        for i in range(0, nt, batch):
+            bx_s, by_s = shard_batch(
+                mesh,
+                jnp.asarray(xt[i : i + batch].astype(np.float32)),
+                jnp.asarray(yt[i : i + batch]),
+            )
+            correct += int(evals(params, bx_s, by_s))
+        print(f"epoch {epoch}: loss {float(loss):.4f} test_acc {correct/max(nt,1):.4f}")
+
+
+@demo("NnGradTest")
+def nn_grad_test(args):
+    """Gradient correctness check (reference nnGradTest.cpp / DEBUG_GRAD
+    dumps): compares the integer conv gradients' int32 accumulators against
+    naive scalar references and prints max deltas."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mandheling_tpu.ops import conv as conv_ops
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-30, 30, (4, 12, 12, 8)), jnp.int8)
+    w = jnp.asarray(rng.integers(-30, 30, (5, 5, 8, 16)), jnp.int8)
+    gy = jnp.asarray(rng.integers(-30, 30, (4, 8, 8, 16)), jnp.int8)
+
+    acc_dx = conv_ops.conv2d_input_grad_acc(gy, w, (12, 12))
+    acc_dw = conv_ops.conv2d_filter_grad_acc(x, gy, (5, 5))
+
+    xf = np.asarray(x, np.float64)
+    wf = np.asarray(w, np.float64)
+    gyf = np.asarray(gy, np.float64)
+    import jax
+
+    dx_ref = jax.lax.conv_general_dilated(
+        jnp.asarray(gyf), jnp.asarray(np.flip(wf, (0, 1)).transpose(0, 1, 3, 2)),
+        (1, 1), [(4, 4), (4, 4)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    print("input-grad max |delta| vs float conv:",
+          float(jnp.max(jnp.abs(acc_dx - dx_ref))))
+    # filter grad vs direct einsum
+    dw_direct = np.zeros((5, 5, 8, 16))
+    for dy in range(5):
+        for dxx in range(5):
+            dw_direct[dy, dxx] = np.einsum(
+                "bhwi,bhwo->io", xf[:, dy : dy + 8, dxx : dxx + 8, :], gyf
+            )
+    print("filter-grad max |delta| vs einsum:",
+          float(np.max(np.abs(np.asarray(acc_dw) - dw_direct))))
+    print("PASS" if float(np.max(np.abs(np.asarray(acc_dw) - dw_direct))) == 0
+          else "FAIL")
+
+
+@demo("DataLoaderDemo")
+def dataloader_demo(args):
+    from mandheling_tpu.data import DataLoader, load_or_synthesize
+
+    x, y, real = load_or_synthesize(args.root, train=True)
+    print(f"dataset: {len(x)} images ({'real MNIST' if real else 'synthetic'})")
+    dl = DataLoader(x, y, 64, seed=0)
+    for i, (bx, by) in enumerate(dl.epoch()):
+        if i < 3:
+            print(f"batch {i}: images {bx.shape} {bx.dtype}, "
+                  f"labels {by.shape}, first labels {by[:8]}")
+    print(f"{len(dl)} batches/epoch")
+
+
+@demo("LinearRegression")
+def linear_regression(args):
+    """The reference's sanity demo (demo/linearRegression.cpp): fit y=ax+b."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    xs = jax.random.normal(key, (256, 1))
+    ys = 3.0 * xs + 1.5 + 0.01 * jax.random.normal(jax.random.PRNGKey(1), (256, 1))
+    w = jnp.zeros((1, 1))
+    b = jnp.zeros((1,))
+
+    @jax.jit
+    def step(w, b):
+        def loss_fn(w, b):
+            return jnp.mean((xs @ w + b - ys) ** 2)
+
+        loss, (gw, gb) = jax.value_and_grad(loss_fn, argnums=(0, 1))(w, b)
+        return w - 0.1 * gw, b - 0.1 * gb, loss
+
+    for i in range(200):
+        w, b, loss = step(w, b)
+    print(f"fit: a={float(w[0,0]):.3f} b={float(b[0]):.3f} loss={float(loss):.6f}")
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("demo", choices=sorted(DEMOS), nargs="?")
+    parser.add_argument("root", nargs="?", default=None,
+                        help="MNIST idx-file root dir")
+    parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument("--snapshot", default=None)
+    args = parser.parse_args()
+    if not args.demo:
+        print("available demos:")
+        for name in sorted(DEMOS):
+            print(" ", name)
+        return
+    DEMOS[args.demo](args)
+
+
+if __name__ == "__main__":
+    main()

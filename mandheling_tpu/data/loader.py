@@ -85,6 +85,28 @@ class DataLoader:
             stop.set()
 
 
+def make_loader(
+    images: np.ndarray,
+    labels: np.ndarray,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    prefer_native: bool = True,
+):
+    """Factory: native C++ worker-thread loader when built, Python fallback.
+
+    Note: the native path feeds raw [0,255] float batches like the Python
+    path — normalization/quantization runs on-device in the jitted step."""
+    if prefer_native:
+        try:
+            from .native import NativeLoader
+
+            return NativeLoader(images, labels, batch_size, shuffle, seed)
+        except (RuntimeError, OSError):
+            pass
+    return DataLoader(images, labels, batch_size, shuffle, seed)
+
+
 def shard_for_host(
     images: np.ndarray, labels: np.ndarray, host_id: int, num_hosts: int
 ) -> Tuple[np.ndarray, np.ndarray]:

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data import DataLoader, onehot_padded
+from ..data import onehot_padded
+from ..data.loader import make_loader
 from ..models import NITI_LOGIT_CHANNELS, lenet_niti
 from ..models.lenet import LeNetFP32
 from ..train import jit_eval_step, jit_train_step
@@ -61,7 +62,7 @@ def train_niti(
 
     x, y = train_data
     xt, yt = test_data
-    dl = DataLoader(x, y, batch, seed=seed)
+    dl = make_loader(x, y, batch, seed=seed)
     it = start_epoch * len(dl)
     acc = 0.0
     for epoch in range(start_epoch, epochs):
@@ -114,7 +115,7 @@ def train_fp32(
 
     x, y = train_data
     xt, yt = test_data
-    dl = DataLoader(x, y, batch, seed=seed)
+    dl = make_loader(x, y, batch, seed=seed)
     it = 0
     acc = 0.0
     for epoch in range(epochs):

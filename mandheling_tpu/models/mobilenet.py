@@ -1,0 +1,93 @@
+"""MobileNet-V2 (CIFAR-10 variant) — NITI int8 and fp32 versions.
+
+Reference: `tools/train/source/models/MobilenetV2.cpp` (fp32, express-built;
+its bottleneck = expand 1x1 -> depthwise 3x3 -> project 1x1 with residual
+when stride==1 and in==out) and the MobilenetV2 training/transfer demos
+(`demo/MobilenetV2Utils.cpp:34`, `demo/mobilenetV2Train.cpp:29-53`).
+
+The NITI variant is this rebuild's mixed-precision CIFAR config
+(BASELINE.md configs; SURVEY.md section 7 step 5): every conv is an int8
+NITI layer, residual adds are exponent-aligned int8 eltwise. Widths are
+CIFAR-scaled (32x32 inputs, stride plan 1-1-2-2-2 instead of ImageNet's).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from ..nn.blocks import (
+    GlobalAvgPool,
+    NITIAvgPool,
+    NITIDepthwiseConv2D,
+    ResidualBlock,
+)
+from ..nn.layers import Flatten, NITIConv2D, NITIMaxPool, NITIRelu, SqueezeLogits
+from ..nn.module import NITILayer, Sequential
+
+# CIFAR MobileNetV2 plan: (expansion, out_channels, num_blocks, stride)
+CIFAR_PLAN = [
+    (1, 16, 1, 1),
+    (6, 24, 2, 1),  # stride 1 for 32x32 inputs
+    (6, 32, 3, 2),
+    (6, 64, 4, 2),
+    (6, 96, 3, 1),
+    (6, 160, 3, 2),
+    (6, 320, 1, 1),
+]
+
+
+def _bottleneck(in_c: int, out_c: int, expansion: int, stride: int) -> NITILayer:
+    mid = in_c * expansion
+    layers: List[NITILayer] = []
+    if expansion != 1:
+        layers += [NITIConv2D(in_c, mid, (1, 1)), NITIRelu()]
+    layers += [
+        NITIDepthwiseConv2D(mid, (3, 3), (stride, stride), "SAME"),
+        NITIRelu(),
+        NITIConv2D(mid, out_c, (1, 1)),
+    ]
+    seq = Sequential(layers)
+    if stride == 1 and in_c == out_c:
+        return ResidualBlock(seq)
+    return seq
+
+
+class _SeqFlatten(Sequential):
+    pass
+
+
+def mobilenet_v2_niti(num_classes: int = 10, width_mult: float = 1.0) -> Sequential:
+    """NITI int8 MobileNetV2-CIFAR. Logit channels padded to a multiple of
+    4 like the reference pads NITI channels (mnistTrain.cpp:137-152)."""
+
+    def c(ch):
+        return max(4, int(ch * width_mult) // 4 * 4)
+
+    layers: List[NITILayer] = [
+        NITIConv2D(3, c(32), (3, 3), (1, 1), "SAME"),
+        NITIRelu(),
+    ]
+    in_c = c(32)
+    for expansion, out_c, n, stride in CIFAR_PLAN:
+        out_c = c(out_c)
+        for i in range(n):
+            s = stride if i == 0 else 1
+            block = _bottleneck(in_c, out_c, expansion, s)
+            if isinstance(block, ResidualBlock):
+                layers.append(block)
+            else:
+                layers.extend(block.layers)
+            in_c = out_c
+    head = c(1280)
+    logit_width = (num_classes + 3) // 4 * 4
+    layers += [
+        NITIConv2D(in_c, head, (1, 1)),
+        NITIRelu(),
+        GlobalAvgPool(),
+        NITIConv2D(head, logit_width, (1, 1)),
+        SqueezeLogits(),
+    ]
+    return Sequential(layers)
+
+
+MOBILENET_V2_NITI_LOGITS = 12  # 10 classes padded to x4

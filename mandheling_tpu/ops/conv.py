@@ -38,17 +38,30 @@ from .kernels import dispatch as _dispatch
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
-def _norm_padding(padding, kernel_shape) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+def resolve_padding(
+    padding, kernel: Tuple[int, int], stride: Sequence[int],
+    in_spatial: Tuple[int, int],
+) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    """Resolve 'VALID'/'SAME'/explicit padding to concrete per-edge pads.
+
+    SAME follows the TF/XLA convention (out = ceil(in/stride), asymmetric
+    low/high split) — required so strided forward/gradient geometries agree.
+    """
     if isinstance(padding, str):
         if padding.upper() == "VALID":
             return ((0, 0), (0, 0))
         if padding.upper() == "SAME":
-            kh, kw = kernel_shape[0], kernel_shape[1]
-            ph, pw = kh - 1, kw - 1
-            return ((ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2))
+            pads = []
+            for i, k, s in zip(in_spatial, kernel, stride):
+                out = -(-i // s)
+                total = max((out - 1) * s + k - i, 0)
+                pads.append((total // 2, total - total // 2))
+            return (pads[0], pads[1])
         raise ValueError(f"unknown padding {padding}")
     (pt, pb), (pl, pr) = padding
     return ((pt, pb), (pl, pr))
+
+
 
 
 def _maybe_pmax(m: jax.Array, axis_name: Optional[str]) -> jax.Array:
@@ -64,7 +77,7 @@ def conv2d_int8_acc(
     padding="VALID",
 ) -> jax.Array:
     """int8 NHWC x * int8 HWIO w -> int32 accumulator (the raw GEMM result)."""
-    pad = _norm_padding(padding, w.shape)
+    pad = resolve_padding(padding, w.shape[:2], stride, x.shape[1:3])
     return _dispatch.conv_acc(x, w, tuple(stride), pad)
 
 
@@ -105,7 +118,7 @@ def conv2d_input_grad_acc(
     via XLA lhs_dilation.
     """
     kh, kw, ic, oc = w.shape
-    (pt, _pb), (pl, _pr) = _norm_padding(padding, w.shape)
+    (pt, _pb), (pl, _pr) = resolve_padding(padding, w.shape[:2], stride, x_spatial)
     sh, sw = stride
     # rotate 180 spatially + swap in/out channels
     w_rot = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)  # HWIO -> HW,O,I
@@ -163,7 +176,7 @@ def conv2d_filter_grad_acc(
     on TPU it is one conv with batch as the contraction dim and rhs_dilation
     carrying the forward stride.
     """
-    pad = _norm_padding(padding, kernel_spatial + x.shape[3:])
+    pad = resolve_padding(padding, kernel_spatial, stride, x.shape[1:3])
     # lhs: treat Cin as batch, B as features -> (Cin, H, W, B)
     lhs = x.transpose(3, 1, 2, 0)
     # rhs: gy as kernel (Hout, Wout, B, Cout)

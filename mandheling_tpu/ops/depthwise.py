@@ -1,0 +1,175 @@
+"""NITI int8 depthwise convolution (MobileNet-family bottlenecks).
+
+The reference's NITI op set is dense-conv only (its MobileNet demos run in
+fp32); depthwise is required for the mixed-precision MobileNet-v2 CIFAR
+config (BASELINE.md configs; SURVEY.md section 7 step 5). Numerics follow
+the NITI conv contract exactly: int8 x int8 -> int32 accumulate, forward
+requant shift = bw-7 (branch rules), filter grad shift = bw-2, input grad
+bw-7 — the same shared requant code as dense conv.
+
+Weights are (KH, KW, 1, C) HWIO with feature_group_count = C.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import numerics
+from .conv import _maybe_pmax, resolve_padding
+
+
+def dwconv2d_int8_acc(
+    x: jax.Array,
+    w: jax.Array,
+    stride: Sequence[int] = (1, 1),
+    padding="SAME",
+) -> jax.Array:
+    pad = resolve_padding(padding, w.shape[:2], stride, x.shape[1:3])
+    c = x.shape[-1]
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=tuple(stride),
+        padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        preferred_element_type=jnp.int32,
+    )
+
+
+def dwconv2d_forward(
+    x: jax.Array,
+    x_exp: jax.Array,
+    w: jax.Array,
+    w_exp: jax.Array,
+    stride: Sequence[int] = (1, 1),
+    padding="SAME",
+    axis_name: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    acc = dwconv2d_int8_acc(x, w, stride, padding)
+    m = _maybe_pmax(jnp.max(jnp.abs(acc)), axis_name)
+    bw = numerics.range_estimate_from_max(m)
+    exp_in = x_exp.astype(jnp.int32) + w_exp.astype(jnp.int32)
+    return numerics.requant_forward_from_bw(acc, exp_in, bw)
+
+
+def dwconv2d_input_grad(
+    gy: jax.Array,
+    w: jax.Array,
+    x_spatial: Tuple[int, int],
+    stride: Sequence[int] = (1, 1),
+    padding="SAME",
+    axis_name: Optional[str] = None,
+) -> jax.Array:
+    """Transposed depthwise conv with rot180 weights, bw-7 requant."""
+    kh, kw, _, c = w.shape
+    (pt, _), (pl, _) = resolve_padding(padding, w.shape[:2], stride, x_spatial)
+    sh, sw = stride
+    ih, iw = x_spatial
+    oh, ow = gy.shape[1], gy.shape[2]
+    w_rot = jnp.flip(w, axis=(0, 1))  # per-channel, no io swap (1-in-1-out)
+    pad_top = kh - 1 - pt
+    pad_left = kw - 1 - pl
+    dil_h = (oh - 1) * sh + 1
+    dil_w = (ow - 1) * sw + 1
+    pad_bottom = ih - dil_h - pad_top + kh - 1
+    pad_right = iw - dil_w - pad_left + kw - 1
+    acc = jax.lax.conv_general_dilated(
+        gy,
+        w_rot,
+        (1, 1),
+        ((pad_top, pad_bottom), (pad_left, pad_right)),
+        lhs_dilation=(sh, sw),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        preferred_element_type=jnp.int32,
+    )
+    m = _maybe_pmax(jnp.max(jnp.abs(acc)), axis_name)
+    bw = numerics.range_estimate_from_max(m)
+    out, _ = numerics.requant_forward_from_bw(acc, jnp.int32(0), bw)
+    return out
+
+
+def dwconv2d_filter_grad(
+    x: jax.Array,
+    gy: jax.Array,
+    kernel_spatial: Tuple[int, int],
+    stride: Sequence[int] = (1, 1),
+    padding="SAME",
+    axis_name: Optional[str] = None,
+) -> jax.Array:
+    """dw[kh,kw,1,c] = sum_{b,oh,ow} x[b, oh*s+kh-pt, ...] * gy[b,oh,ow,c];
+    bw-2 shift like the dense filter grad. Depthwise filter-grad FLOPs are
+    tiny (no channel contraction), so a VPU einsum is the right tool."""
+    kh, kw = kernel_spatial
+    pad = resolve_padding(padding, (kh, kw), stride, x.shape[1:3])
+    sh, sw = stride
+    xp = jnp.pad(x, ((0, 0), pad[0], pad[1], (0, 0)))
+    b, ih, iw, c = xp.shape
+    oh, ow = gy.shape[1], gy.shape[2]
+    gy32 = gy.astype(jnp.int32)
+    cols = []
+    for dy in range(kh):
+        for dx in range(kw):
+            patch = jax.lax.slice(
+                xp,
+                (0, dy, dx, 0),
+                (b, dy + (oh - 1) * sh + 1, dx + (ow - 1) * sw + 1, c),
+                (1, sh, sw, 1),
+            ).astype(jnp.int32)
+            cols.append(jnp.sum(patch * gy32, axis=(0, 1, 2)))  # (C,)
+    acc = jnp.stack(cols).reshape(kh, kw, 1, c)
+    if axis_name is not None:
+        acc = jax.lax.psum(acc, axis_name)
+    bw = numerics.range_estimate(acc)
+    return numerics.requant_grad_from_bw(acc, bw, margin=2)
+
+
+def avgpool2d_int8(
+    x: jax.Array,
+    x_exp: jax.Array,
+    window: Sequence[int],
+    stride: Optional[Sequence[int]] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """int8 average pool: int32 window sum, truncating division by the
+    window size, exponent passthrough. (The reference has no NITI avgpool —
+    its MobileNet path is fp32 — so the integer semantics follow the same
+    int32-accumulate + truncate style as the other NITI ops.)"""
+    kh, kw = window
+    sh, sw = stride or window
+    acc = jax.lax.reduce_window(
+        x.astype(jnp.int32),
+        jnp.int32(0),
+        jax.lax.add,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding="VALID",
+    )
+    out = jax.lax.div(acc, jnp.int32(kh * kw))
+    return numerics.int8_clip(out).astype(jnp.int8), x_exp
+
+
+def avgpool2d_grad(
+    gy: jax.Array,
+    x_spatial: Tuple[int, int],
+    window: Sequence[int],
+    stride: Optional[Sequence[int]] = None,
+) -> jax.Array:
+    """Spread gy/|window| uniformly over each window (truncating division)."""
+    kh, kw = window
+    sh, sw = stride or window
+    ih, iw = x_spatial
+    g = jax.lax.div(gy.astype(jnp.int32), jnp.int32(kh * kw))
+    b, oh, ow, c = gy.shape
+    gx = jnp.zeros((b, ih, iw, c), jnp.int32)
+    for dy in range(kh):
+        for dx in range(kw):
+            scat = jnp.zeros((b, ih, iw, c), jnp.int32)
+            dil = jnp.zeros((b, (oh - 1) * sh + 1, (ow - 1) * sw + 1, c), jnp.int32)
+            dil = dil.at[:, ::sh, ::sw, :].set(g)
+            scat = jax.lax.dynamic_update_slice(scat, dil, (0, dy, dx, 0))
+            gx = gx + scat
+    return numerics.int8_clip(gx).astype(jnp.int8)

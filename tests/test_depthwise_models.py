@@ -1,0 +1,119 @@
+"""Depthwise conv numerics + MobileNetV2/ResNet18 NITI training smoke tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mandheling_tpu.data.cifar import synthetic_cifar
+from mandheling_tpu.data.loader import onehot_padded
+from mandheling_tpu.models.mobilenet import mobilenet_v2_niti
+from mandheling_tpu.models.resnet import resnet18_niti
+from mandheling_tpu.ops import depthwise as dw_ops
+from mandheling_tpu.ops import numerics
+from mandheling_tpu.train import make_train_step
+
+
+def rand_int8(rng, shape, lo=-25, hi=25):
+    return rng.integers(lo, hi, shape).astype(np.int8)
+
+
+def naive_dw_acc(x, w, stride=(1, 1), pad=((1, 1), (1, 1))):
+    x = np.asarray(x, np.int32)
+    w = np.asarray(w, np.int32)
+    x = np.pad(x, ((0, 0), pad[0], pad[1], (0, 0)))
+    b, ih, iw, c = x.shape
+    kh, kw, _, _ = w.shape
+    sh, sw = stride
+    oh = (ih - kh) // sh + 1
+    ow = (iw - kw) // sw + 1
+    out = np.zeros((b, oh, ow, c), np.int32)
+    for bi in range(b):
+        for y in range(oh):
+            for xx in range(ow):
+                patch = x[bi, y * sh : y * sh + kh, xx * sw : xx * sw + kw, :]
+                out[bi, y, xx, :] = np.sum(patch * w[:, :, 0, :], axis=(0, 1))
+    return out
+
+
+@pytest.mark.parametrize("stride", [(1, 1), (2, 2)])
+def test_dwconv_acc_matches_naive(stride):
+    from mandheling_tpu.ops.conv import resolve_padding
+
+    rng = np.random.default_rng(0)
+    x = rand_int8(rng, (2, 8, 8, 6))
+    w = rand_int8(rng, (3, 3, 1, 6))
+    got = np.asarray(
+        dw_ops.dwconv2d_int8_acc(jnp.asarray(x), jnp.asarray(w), stride, "SAME")
+    )
+    pad = resolve_padding("SAME", (3, 3), stride, (8, 8))
+    expected = naive_dw_acc(x, w, stride, pad)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_dwconv_grads_shapes_and_requant():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rand_int8(rng, (2, 8, 8, 6)))
+    w = jnp.asarray(rand_int8(rng, (3, 3, 1, 6)))
+    y, e = dw_ops.dwconv2d_forward(x, jnp.int32(-5), w, jnp.int32(-6))
+    gy = jnp.asarray(rand_int8(rng, y.shape))
+    gx = dw_ops.dwconv2d_input_grad(gy, w, (8, 8))
+    gw = dw_ops.dwconv2d_filter_grad(x, gy, (3, 3))
+    assert gx.shape == x.shape and gx.dtype == jnp.int8
+    assert gw.shape == w.shape and gw.dtype == jnp.int8
+    # dw filter grad accumulator check vs naive
+    acc = np.zeros((3, 3, 1, 6), np.int32)
+    xp = np.pad(np.asarray(x, np.int32), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    gyn = np.asarray(gy, np.int32)
+    for dy in range(3):
+        for dx in range(3):
+            acc[dy, dx, 0] = np.sum(
+                xp[:, dy : dy + 8, dx : dx + 8, :] * gyn, axis=(0, 1, 2)
+            )
+    expected = np.asarray(numerics.requant_grad(jnp.asarray(acc), margin=2))
+    np.testing.assert_array_equal(np.asarray(gw), expected)
+
+
+def test_avgpool_int8():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rand_int8(rng, (1, 4, 4, 3), -100, 100))
+    y, e = dw_ops.avgpool2d_int8(x, jnp.int32(-3), (2, 2))
+    expected = np.asarray(x, np.int32).reshape(1, 2, 2, 2, 2, 3)
+    expected = expected.transpose(0, 1, 3, 5, 2, 4).reshape(1, 2, 2, 3, 4)
+    # truncating division of the window sum
+    sums = expected.sum(-1)
+    trunc = np.sign(sums) * (np.abs(sums) // 4)
+    np.testing.assert_array_equal(np.asarray(y, np.int32), trunc)
+    assert int(e) == -3
+
+
+def _smoke_train(model_fn, logits_width, steps=3, batch=16):
+    model = model_fn()
+    params = model.init(jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(model))
+    x, y = synthetic_cifar(batch * steps, seed=0)
+    losses = []
+    p = params
+    for i in range(steps):
+        bx = jnp.asarray(x[i * batch : (i + 1) * batch].astype(np.float32))
+        oh = jnp.asarray(onehot_padded(y[i * batch : (i + 1) * batch], 10, logits_width))
+        p, loss = step(p, bx, oh)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all(), losses
+    # at least one weight tensor must have changed
+    changed = any(
+        not np.array_equal(np.asarray(a.data), np.asarray(b.data))
+        for a, b in zip(jax.tree.leaves(params, is_leaf=lambda l: hasattr(l, "data")),
+                        jax.tree.leaves(p, is_leaf=lambda l: hasattr(l, "data")))
+        if hasattr(a, "data")
+    )
+    assert changed
+    return losses
+
+
+def test_mobilenet_v2_niti_smoke():
+    _smoke_train(lambda: mobilenet_v2_niti(width_mult=0.25), 12)
+
+
+def test_resnet18_niti_smoke():
+    _smoke_train(resnet18_niti, 12, steps=2, batch=8)

@@ -166,3 +166,25 @@ def test_loss_float_value():
         )
     )
     assert abs(got - expected) < 1e-4
+
+
+def test_loss_grad_extreme_ascale_keeps_signal():
+    """For very negative ascale (deep nets early in training) the integer
+    softmax is ~uniform; the gradient must stay finite and non-zero with a
+    strong negative at the target (int32-safe clamp, see ops/loss.py)."""
+    rng = np.random.default_rng(0)
+    b, c = 8, 12
+    logits = rng.integers(-127, 128, (b, c)).astype(np.int8)
+    onehot = np.zeros((b, c), np.int32)
+    targets = rng.integers(0, 10, b)
+    onehot[np.arange(b), targets] = 1
+    g = np.asarray(
+        loss_ops.loss_grad_int8(
+            jnp.asarray(logits), jnp.int32(-21), jnp.asarray(onehot)
+        )
+    )
+    # target entries strongly negative, others mildly positive
+    assert (g[np.arange(b), targets] < -50).all(), g
+    off = g.copy()
+    off[np.arange(b), targets] = 0
+    assert (off >= 0).all() and off.max() <= 30

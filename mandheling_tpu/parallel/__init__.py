@@ -1,5 +1,6 @@
 from . import mesh, sharded_step
 from .mesh import DATA_AXIS, MODEL_AXIS, data_mesh, make_mesh
+from . import tp
 from .sharded_step import (
     make_dp_eval_step,
     make_dp_train_step,

@@ -1,0 +1,64 @@
+"""Tensor-parallel (DP x TP) training tests: bit-identical to single chip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mandheling_tpu.data import onehot_padded, synthetic_mnist
+from mandheling_tpu.models import NITI_LOGIT_CHANNELS
+from mandheling_tpu.parallel.mesh import make_mesh
+from mandheling_tpu.parallel.tp import (
+    lenet_niti_tp,
+    make_tp_train_step,
+    shard_params,
+)
+from mandheling_tpu.train import jit_train_step
+
+
+@pytest.mark.parametrize("n_data,n_model", [(4, 2), (2, 4)])
+def test_tp_bit_identical_to_single_chip(n_data, n_model):
+    assert len(jax.devices()) >= n_data * n_model
+    model = lenet_niti_tp()
+    params = model.init(jax.random.PRNGKey(0))
+
+    x, y = synthetic_mnist(64, seed=0)
+    bx = jnp.asarray(x.astype(np.float32))
+    oh = jnp.asarray(onehot_padded(y, 10, NITI_LOGIT_CHANNELS))
+
+    # single-chip reference (TPConv2D degrades to dense outside the mesh)
+    single = jit_train_step(model)
+    p_single, loss_single = single(jax.tree.map(jnp.copy, params), bx, oh)
+
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+    step = make_tp_train_step(model, mesh, donate=False)
+    p_tp = shard_params(mesh, model, params)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P("data"))
+    p_out, loss_tp = step(p_tp, jax.device_put(bx, shard), jax.device_put(oh, shard))
+
+    assert abs(float(loss_single) - float(loss_tp)) < 1e-6
+    for a, b in zip(jax.tree.leaves(p_single), jax.tree.leaves(p_out)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tp_multi_step_stable():
+    model = lenet_niti_tp()
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh(n_data=4, n_model=2)
+    step = make_tp_train_step(model, mesh, donate=False)
+    p = shard_params(mesh, model, params)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P("data"))
+    x, y = synthetic_mnist(192, seed=0)
+    losses = []
+    for i in range(3):
+        bx = jnp.asarray(x[i * 64 : (i + 1) * 64].astype(np.float32))
+        oh = jnp.asarray(
+            onehot_padded(y[i * 64 : (i + 1) * 64], 10, NITI_LOGIT_CHANNELS)
+        )
+        p, loss = step(p, jax.device_put(bx, shard), jax.device_put(oh, shard))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()

@@ -91,3 +91,47 @@ def mobilenet_v2_niti(num_classes: int = 10, width_mult: float = 1.0) -> Sequent
 
 
 MOBILENET_V2_NITI_LOGITS = 12  # 10 classes padded to x4
+
+# MobileNet-V1 plan (tools/train/source/models/MobilenetV1.cpp: 3x3 stem then
+# 13 depthwise-separable blocks; CIFAR-scaled strides like the V2 plan above):
+# (out_channels, stride)
+V1_CIFAR_PLAN = [
+    (64, 1),
+    (128, 1),  # stride 1 for 32x32 inputs (ImageNet uses 2)
+    (128, 1),
+    (256, 2),
+    (256, 1),
+    (512, 2),
+    (512, 1), (512, 1), (512, 1), (512, 1), (512, 1),
+    (1024, 2),
+    (1024, 1),
+]
+
+
+def mobilenet_v1_niti(num_classes: int = 10, width_mult: float = 1.0) -> Sequential:
+    """NITI int8 MobileNetV1-CIFAR: depthwise 3x3 + pointwise 1x1 pairs."""
+
+    def c(ch):
+        return max(4, int(ch * width_mult) // 4 * 4)
+
+    layers: List[NITILayer] = [
+        NITIConv2D(3, c(32), (3, 3), (1, 1), "SAME"),
+        NITIRelu(),
+    ]
+    in_c = c(32)
+    for out_c, stride in V1_CIFAR_PLAN:
+        out_c = c(out_c)
+        layers += [
+            NITIDepthwiseConv2D(in_c, (3, 3), (stride, stride), "SAME"),
+            NITIRelu(),
+            NITIConv2D(in_c, out_c, (1, 1)),
+            NITIRelu(),
+        ]
+        in_c = out_c
+    logit_width = (num_classes + 3) // 4 * 4
+    layers += [
+        GlobalAvgPool(),
+        NITIConv2D(in_c, logit_width, (1, 1)),
+        SqueezeLogits(),
+    ]
+    return Sequential(layers)

@@ -1,4 +1,4 @@
-from . import conv, eltwise, loss, matmul, numerics, pool, relu
+from . import conv, eltwise, loss, matmul, numerics, pool, relu, softmax
 from .qtensor import QTensor, quantize_input, quantize_weights
 
 __all__ = [
@@ -9,6 +9,7 @@ __all__ = [
     "numerics",
     "pool",
     "relu",
+    "softmax",
     "QTensor",
     "quantize_input",
     "quantize_weights",

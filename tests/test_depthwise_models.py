@@ -117,3 +117,35 @@ def test_mobilenet_v2_niti_smoke():
 
 def test_resnet18_niti_smoke():
     _smoke_train(resnet18_niti, 12, steps=2, batch=8)
+
+
+def test_mobilenet_v1_niti_smoke():
+    from mandheling_tpu.models.mobilenet import mobilenet_v1_niti
+
+    _smoke_train(lambda: mobilenet_v1_niti(width_mult=0.25), 12, steps=2, batch=8)
+
+
+def test_mobilenet_fp32_train_smoke():
+    import jax
+    import jax.numpy as jnp
+
+    from mandheling_tpu.models import MobileNetV1FP32, MobileNetV2FP32
+
+    for cls in (MobileNetV1FP32, MobileNetV2FP32):
+        model = cls(num_classes=10, width_mult=0.25)
+        params = model.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+
+        def loss_fn(p):
+            logits, newp = model.apply(p, x, training=True)
+            return jnp.mean(jax.nn.logsumexp(logits, -1) - logits[:, 0]), newp
+
+        (loss, newp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        assert jnp.isfinite(loss)
+        # gradient reaches the stem conv and the head
+        assert float(jnp.max(jnp.abs(grads[0]["w"]))) > 0
+        assert float(jnp.max(jnp.abs(grads[-1]["w"]))) > 0
+        # eval path uses running stats and is deterministic
+        l1, _ = model.apply(newp, x, training=False)
+        l2, _ = model.apply(newp, x, training=False)
+        assert jnp.allclose(l1, l2)

@@ -188,3 +188,41 @@ def test_loss_grad_extreme_ascale_keeps_signal():
     off = g.copy()
     off[np.arange(b), targets] = 0
     assert (off >= 0).all() and off.max() <= 30
+
+
+def py_softmax_int8(x_row, ascale):
+    """Mirror of NITI_CPUSoftmax_Int8.cpp:66-110."""
+    if ascale > -7:
+        s = []
+        for v in x_row:
+            t = (int(v) * 47274) >> 15 if int(v) >= 0 else c_trunc_div(int(v) * 47274, 1 << 15)
+            if ascale >= 0:
+                s.append(t << ascale)
+            else:
+                s.append(t >> (-ascale) if t >= 0 else c_trunc_div(t, 1 << (-ascale)))
+        m = max(s) - 10
+        return [(1 << max(si - m, 0)) - 1 for si in s]
+    base = 1 << (1 - 2 * ascale)
+    shiftbase = 1 << (1 - ascale)
+    return [base + int(v) * shiftbase + int(v) * int(v) for v in x_row]
+
+
+@pytest.mark.parametrize("ascale", [-9, -8, -7, -6, -3, 0, 2])
+def test_softmax_int8_forward(ascale):
+    from mandheling_tpu.ops import softmax as sm
+
+    rng = np.random.default_rng(ascale + 100)
+    x = rng.integers(-127, 128, (5, 10)).astype(np.int8)
+    out = np.asarray(sm.softmax_int8_forward(jnp.asarray(x), jnp.int32(ascale)))
+    expected = np.array([py_softmax_int8(row, ascale) for row in x], np.int32)
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_softmax_grad_truncates_low_byte():
+    from mandheling_tpu.ops import softmax as sm
+
+    up = jnp.asarray([0, 1, 255, 256, -1, 1000, -1000], jnp.int32)
+    out = np.asarray(sm.softmax_grad_int8(up))
+    vals = np.array([0, 1, 255, 256, -1, 1000, -1000], np.int64)
+    expected = (vals & 0xFF).astype(np.uint8).view(np.int8)
+    np.testing.assert_array_equal(out, expected)

@@ -248,6 +248,156 @@ def nn_grad_test(args):
           else "FAIL")
 
 
+@demo("DistillTrainQuant")
+def distill_train_quant(args):
+    """Knowledge-distillation QAT (reference demo/distillTrainQuant.cpp:114-139):
+    a float teacher's logits guide a fake-quant student via _DistillLoss
+    (T=20, alpha=0.9, Loss.cpp:68-84). Teacher = LeNetFP32 (loaded from
+    --snapshot if given, else briefly pre-trained); student = LeNetQAT."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mandheling_tpu.data import DataLoader, onehot_padded
+    from mandheling_tpu.models import LeNetFP32
+    from mandheling_tpu.models.lenet_qat import LeNetQAT
+    from mandheling_tpu.train.losses import distill_loss
+    from mandheling_tpu.train.optim import sgd_init, sgd_update
+
+    (x, y), (xt, yt) = _data(args.root)
+    teacher = LeNetFP32()
+    tparams = teacher.init(jax.random.PRNGKey(0))
+
+    # quick teacher pre-training (one epoch of plain SGD)
+    tvel = sgd_init(tparams)
+
+    def tloss(p, xb, oh):
+        logits = teacher.apply(p, xb)
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * oh, -1))
+
+    @jax.jit
+    def tstep(p, v, xb, oh):
+        loss, g = jax.value_and_grad(tloss)(p, xb, oh)
+        p, v = sgd_update(p, g, v, 0.05)
+        return p, v, loss
+
+    dl = DataLoader(x, y, 64, seed=0)
+    for bx, by in dl.epoch():
+        oh = onehot_padded(by, 10, 10).astype(np.float32)
+        tparams, tvel, _ = tstep(tparams, tvel, jnp.asarray(bx), jnp.asarray(oh))
+    print("teacher pre-trained (1 epoch)")
+
+    student = LeNetQAT(bits=8)
+    sparams, obs = student.init(jax.random.PRNGKey(1))
+    svel = sgd_init(sparams)
+
+    def sloss(p, o, xb, oh, key):
+        slogits, new_o = student.apply(p, o, xb, dropout_key=key, training=True)
+        tlogits = teacher.apply(tparams, xb)
+        return distill_loss(slogits, tlogits, oh, 20.0, 0.9), new_o
+
+    @jax.jit
+    def sstep(p, o, v, xb, oh, key):
+        (loss, new_o), g = jax.value_and_grad(sloss, has_aux=True)(p, o, xb, oh, key)
+        p, v = sgd_update(p, g, v, 0.01)
+        return p, new_o, v, loss
+
+    @jax.jit
+    def predict(p, o, xb):
+        logits, _ = student.apply(p, o, xb, training=False)
+        return jnp.argmax(logits, -1)
+
+    key = jax.random.PRNGKey(2)
+    for epoch in range(args.epochs):
+        loss = None
+        for bx, by in dl.epoch():
+            key, sub = jax.random.split(key)
+            oh = onehot_padded(by, 10, 10).astype(np.float32)
+            sparams, obs, svel, loss = sstep(
+                sparams, obs, svel, jnp.asarray(bx), jnp.asarray(oh), sub)
+        n = (len(xt) // 64) * 64
+        correct = sum(
+            int(jnp.sum(predict(sparams, obs, jnp.asarray(xt[i:i + 64])) ==
+                        jnp.asarray(yt[i:i + 64])))
+            for i in range(0, n, 64)
+        )
+        print(f"epoch {epoch}: distill_loss {float(loss):.4f} "
+              f"student_test_acc {correct / max(n, 1):.4f}")
+
+
+@demo("MobilenetV2Transfer")
+def mobilenet_v2_transfer(args):
+    """Transfer learning (reference demo/mobilenetV2Train.cpp:29-53): frozen
+    MobileNetV2 features + a fresh trainable classifier conv. With
+    `root pointing at a folder` + `--images-txt path` it trains on an
+    ImageDataset (path label lines); otherwise synthetic CIFAR-shaped data.
+    `--snapshot` loads pretrained feature params (npz checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mandheling_tpu.data import DataLoader, onehot_padded
+    from mandheling_tpu.models.mobilenet import mobilenet_v2_niti
+    from mandheling_tpu.nn.layers import NITIConv2D, SqueezeLogits
+    from mandheling_tpu.nn.module import Sequential
+    from mandheling_tpu.train.transfer import (
+        TransferModel,
+        make_transfer_eval_step,
+        make_transfer_train_step,
+    )
+    from mandheling_tpu.utils.checkpoint import load_checkpoint
+
+    num_classes = 10
+    full = mobilenet_v2_niti(num_classes=num_classes, width_mult=0.25)
+    # split after GlobalAvgPool: everything before the classifier conv is
+    # frozen (the reference freezes up to MobilenetV2/Logits/AvgPool)
+    split = len(full.layers) - 2
+    features = Sequential(full.layers[:split])
+    head_width = full.layers[split].in_channels
+    logit_width = (num_classes + 3) // 4 * 4
+    head = Sequential([NITIConv2D(head_width, logit_width, (1, 1)), SqueezeLogits()])
+
+    full_params = full.init(jax.random.PRNGKey(0))
+    if args.snapshot and os.path.exists(args.snapshot):
+        full_params, _ = load_checkpoint(args.snapshot, full_params)
+        print(f"loaded pretrained features from {args.snapshot}")
+    else:
+        print("(no pretrained snapshot — feature extractor is random init)")
+    model = TransferModel(features, full_params[:split], head)
+    head_params = model.init(jax.random.PRNGKey(1))
+
+    if args.root and args.images_txt:
+        from mandheling_tpu.data.image import ImageConfig, ImageDataset
+
+        cfg = ImageConfig(resize_height=32, resize_width=32,
+                          crop_fraction=(0.875, 0.875))
+        ds = ImageDataset(args.root, args.images_txt, cfg)
+        x = np.stack([ds[i][0] for i in range(len(ds))])
+        y = np.array([ds[i][1] for i in range(len(ds))], np.int32)
+        print(f"ImageDataset: {len(ds)} images from {args.images_txt}")
+    else:
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 1, (512, 32, 32, 3)).astype(np.float32)
+        y = (rng.integers(0, num_classes, 512)).astype(np.int32)
+        print("(no image folder/txt — synthetic data)")
+
+    step = jax.jit(make_transfer_train_step(model), donate_argnums=(0,))
+    evals = jax.jit(make_transfer_eval_step(model, num_classes))
+    dl = DataLoader(x, y, 64, seed=0)
+    for epoch in range(args.epochs):
+        loss = None
+        for bx, by in dl.epoch():
+            oh = onehot_padded(by, num_classes, logit_width)
+            head_params, loss = step(head_params, jnp.asarray(bx), jnp.asarray(oh))
+        n = (len(x) // 64) * 64
+        correct = sum(
+            int(evals(head_params, jnp.asarray(x[i:i + 64]), jnp.asarray(y[i:i + 64])))
+            for i in range(0, n, 64)
+        )
+        print(f"epoch {epoch}: loss {float(loss):.4f} "
+              f"train_acc {correct / max(n, 1):.4f}")
+
+
 @demo("DataLoaderDemo")
 def dataloader_demo(args):
     from mandheling_tpu.data import DataLoader, load_or_synthesize
@@ -294,6 +444,8 @@ def main():
                         help="MNIST idx-file root dir")
     parser.add_argument("--epochs", type=int, default=10)
     parser.add_argument("--snapshot", default=None)
+    parser.add_argument("--images-txt", default=None,
+                        help="label txt for MobilenetV2Transfer ImageDataset")
     args = parser.parse_args()
     if not args.demo:
         print("available demos:")

@@ -102,3 +102,29 @@ class ImageDataset:
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, int]:
         img = self._cache[idx] if self._cache is not None else self._load(idx)
         return img, self.samples[idx][1]
+
+
+class ImageNoLabelDataset:
+    """Every image in a folder, no labels — used by PTQ calibration
+    (reference `datasets/ImageNoLabelDataset.cpp`, `demo/quanByMSE.cpp`)."""
+
+    EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".ppm")
+
+    def __init__(self, image_folder: str, config: Optional[ImageConfig] = None):
+        self.folder = image_folder
+        self.config = config or ImageConfig()
+        files = sorted(
+            f for f in os.listdir(image_folder) if f.lower().endswith(self.EXTS)
+        )
+        self._inner = ImageDataset.__new__(ImageDataset)
+        self._inner.folder = image_folder
+        self._inner.config = self.config
+        self._inner.samples = [(f, 0) for f in files]
+        self._inner._rng = np.random.default_rng(0)
+        self._inner._cache = None
+
+    def __len__(self) -> int:
+        return len(self._inner.samples)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        return self._inner._load(idx)

@@ -63,3 +63,23 @@ def xla_trace(logdir: Optional[str]):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def cost_analysis(fn, *example_args):
+    """Compiled-program cost analysis — the analog of the reference's
+    per-OpType flops accounting (Executor::Profiler, express/Executor.cpp:
+    34-77, dumped per epoch by MnistUtils.cpp:184). Returns the XLA cost
+    model's dict for the whole jitted program: {'flops': ..., 'bytes
+    accessed': ..., ...} (keys vary by backend)."""
+    import jax
+
+    compiled = jax.jit(fn).lower(*example_args).compile()
+    costs = compiled.cost_analysis()
+    if isinstance(costs, list):  # older jax returns one dict per device
+        costs = costs[0] if costs else {}
+    return dict(costs) if costs else {}
+
+
+def flops_per_step(fn, *example_args) -> float:
+    """Total XLA-estimated flops for one call of `fn(*example_args)`."""
+    return float(cost_analysis(fn, *example_args).get("flops", 0.0))

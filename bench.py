@@ -2,10 +2,16 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Measurement: the step loop runs INSIDE one jitted program (lax.fori_loop
+with params as carry) and the summed loss is read back to the host — pure
+device time, immune to async-dispatch artifacts (on this setup
+block_until_ready can return before remote execution finishes, inflating
+naive timings ~40x).
+
 Baseline: the reference publishes no training throughput (BASELINE.md) — its
-loops print only wall time per iteration on a phone. vs_baseline is therefore
-measured against this repo's recorded fp32 LeNet training throughput on the
-same chip (the reference's own MnistTrain-vs-NITIInt8Train comparison axis):
+loops only print per-iteration wall time on a phone. vs_baseline is the
+int8-vs-fp32 speedup on the same chip (the reference's own
+MnistTrain-vs-NITIInt8Train comparison axis):
 vs_baseline = int8_samples_per_sec / fp32_samples_per_sec.
 """
 
@@ -16,10 +22,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+BATCH = 2048
+ITERS_LO = 5
+ITERS_HI = 55
 
-BATCH = 512  # MXU-friendly batch; reference uses 64 on the phone
-WARMUP = 3
-ITERS = 30
+
+def _device_loop_sps(step_fn, init_state, batch):
+    """samples/s of `state, loss = step_fn(state)` looped on device.
+
+    The axon relay adds a large fixed cost per dispatch, so the
+    per-iteration time is the difference between a long and a short loop."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def run(state, iters):
+        def body(i, carry):
+            state, acc = carry
+            state, loss = step_fn(state)
+            return (state, acc + loss)
+
+        _, acc = jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0)))
+        return acc
+
+    np.asarray(run(init_state, ITERS_LO))  # compile + warm
+    np.asarray(run(init_state, ITERS_HI))
+    t0 = time.perf_counter()
+    np.asarray(run(init_state, ITERS_LO))  # forced scalar readbacks
+    t1 = time.perf_counter()
+    np.asarray(run(init_state, ITERS_HI))
+    t2 = time.perf_counter()
+    dt = ((t2 - t1) - (t1 - t0)) / (ITERS_HI - ITERS_LO)
+    return batch / dt
 
 
 def bench_niti_int8():
@@ -29,21 +62,13 @@ def bench_niti_int8():
 
     model = lenet_niti()
     params = model.init(jax.random.PRNGKey(0))
-    step = jax.jit(make_train_step(model), donate_argnums=(0,))
+    step = make_train_step(model)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(0, 1, (BATCH, 28, 28, 1)), jnp.float32)
     oh = jnp.asarray(onehot_padded(rng.integers(0, 10, BATCH), 10, NITI_LOGIT_CHANNELS))
 
-    for _ in range(WARMUP):
-        params, loss = step(params, x, oh)
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        params, loss = step(params, x, oh)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
-    return BATCH * ITERS / dt
+    return _device_loop_sps(lambda p: step(p, x, oh), params, BATCH)
 
 
 def bench_fp32():
@@ -59,26 +84,19 @@ def bench_fp32():
         logits = model.apply(p, x)
         return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * onehot, axis=-1))
 
-    @jax.jit
-    def step(p, v, x, onehot):
-        loss, g = jax.value_and_grad(loss_fn)(p, x, onehot)
-        p, v = sgd_update(p, g, v, 0.01)
-        return p, v, loss
-
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(0, 1, (BATCH, 28, 28, 1)), jnp.float32)
     oh = jnp.asarray(
         onehot_padded(rng.integers(0, 10, BATCH), 10, 10).astype(np.float32)
     )
-    for _ in range(WARMUP):
-        params, velocity, loss = step(params, velocity, x, oh)
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        params, velocity, loss = step(params, velocity, x, oh)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
-    return BATCH * ITERS / dt
+
+    def step(state):
+        p, v = state
+        loss, g = jax.value_and_grad(loss_fn)(p, x, oh)
+        p, v = sgd_update(p, g, v, 0.01)
+        return (p, v), loss
+
+    return _device_loop_sps(step, (params, velocity), BATCH)
 
 
 def main():

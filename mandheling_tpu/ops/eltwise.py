@@ -30,12 +30,8 @@ def add_int8(
     a_exp = a_exp.astype(jnp.int32)
     b_exp = b_exp.astype(jnp.int32)
     e = jnp.maximum(a_exp, b_exp)
-    ai = jax.lax.div(
-        a.astype(jnp.int32), jnp.left_shift(jnp.int32(1), e - a_exp)
-    )
-    bi = jax.lax.div(
-        b.astype(jnp.int32), jnp.left_shift(jnp.int32(1), e - b_exp)
-    )
+    ai = numerics.trunc_shift_div(a.astype(jnp.int32), e - a_exp)
+    bi = numerics.trunc_shift_div(b.astype(jnp.int32), e - b_exp)
     acc = ai + bi
     return numerics.requant_forward(acc, e)
 

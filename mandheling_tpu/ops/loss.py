@@ -69,9 +69,9 @@ def loss_grad_int8(
 
     def branch_linear(x, a):
         # s = trunc(x * 47274 / 2^15) * 2^a   (trunc division, both signs)
-        t = jax.lax.div(x * 47274, jnp.int32(1 << 15))
+        t = jax.lax.div(x * 47274, jnp.int32(1 << 15))  # constant divisor: ok
         pos = t * jnp.left_shift(jnp.int32(1), jnp.maximum(a, 0))
-        neg = jax.lax.div(t, jnp.left_shift(jnp.int32(1), jnp.maximum(-a, 0)))
+        neg = numerics.trunc_shift_div(t, jnp.maximum(-a, 0))
         s = jnp.where(a >= 0, pos, neg)
         m = jnp.max(s, axis=-1, keepdims=True) - 10
         e = jnp.maximum(s - m, 0)

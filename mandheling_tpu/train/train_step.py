@@ -36,15 +36,16 @@ def quantize_batch(
     over the global batch (psum/pmax) so sharded == single-chip."""
     x = x.astype(jnp.float32)
     n = jnp.float32(x.size)
+    # one fused pass for both moments (E[x^2] - E[x]^2); a dependent
+    # (x - mean)^2 second pass would double the HBM traffic
     s = jnp.sum(x)
+    s2 = jnp.sum(x * x)
     if axis_name is not None:
         n = jax.lax.psum(n, axis_name)
         s = jax.lax.psum(s, axis_name)
+        s2 = jax.lax.psum(s2, axis_name)
     mean = s / n
-    sq = jnp.sum((x - mean) ** 2)
-    if axis_name is not None:
-        sq = jax.lax.psum(sq, axis_name)
-    std = jnp.sqrt(sq / n)
+    std = jnp.sqrt(jnp.maximum(s2 / n - mean * mean, 0.0))
     y = (x - mean) / std
     rng = jnp.max(jnp.abs(y))
     if axis_name is not None:

@@ -26,6 +26,7 @@
 namespace {
 
 struct Batch {
+    int64_t index = 0;  // batches are delivered in index order (reproducible)
     std::vector<float> x;
     std::vector<int32_t> y;
 };
@@ -38,6 +39,14 @@ struct Loader {
 
     int batch = 0;
     int64_t num_batches = 0;
+    int64_t h = 0, w = 0, c = 0;
+
+    // augmentation (reference ImageDataset random-crop / flip transforms):
+    // zero-pad by aug_pad then random-crop back to (h, w); mirror with
+    // probability 1/2. Deterministic per (seed, batch, sample).
+    int aug_pad = 0;
+    int aug_flip = 0;
+    uint64_t seed = 0;
 
     // epoch state
     std::vector<int64_t> order;
@@ -71,22 +80,56 @@ struct Loader {
             int64_t b = next_batch_idx.fetch_add(1);
             if (b >= num_batches || stop.load()) return;
             Batch out;
+            out.index = b;
             out.x.resize((size_t)batch * sample_elems);
             out.y.resize(batch);
+            std::mt19937_64 rng(seed ^ (0x9e3779b97f4a7c15ULL * (uint64_t)(b + 1)));
             for (int i = 0; i < batch; i++) {
                 int64_t idx = order[b * batch + i];
                 const uint8_t* src = images + idx * sample_elems;
                 float* dst = out.x.data() + (size_t)i * sample_elems;
-                for (int64_t j = 0; j < sample_elems; j++)
-                    dst[j] = (float)src[j];
+                if (aug_pad == 0 && aug_flip == 0) {
+                    for (int64_t j = 0; j < sample_elems; j++)
+                        dst[j] = (float)src[j];
+                } else {
+                    int dy = 0, dx = 0, flip = 0;
+                    if (aug_pad > 0) {
+                        std::uniform_int_distribution<int> d(0, 2 * aug_pad);
+                        dy = d(rng) - aug_pad;
+                        dx = d(rng) - aug_pad;
+                    }
+                    if (aug_flip) {
+                        std::uniform_int_distribution<int> d(0, 1);
+                        flip = d(rng);
+                    }
+                    for (int64_t y = 0; y < h; y++) {
+                        int64_t sy = y + dy;
+                        for (int64_t x = 0; x < w; x++) {
+                            int64_t sx = (flip ? w - 1 - x : x) + dx;
+                            float* px = dst + (y * w + x) * c;
+                            if (sy < 0 || sy >= h || sx < 0 || sx >= w) {
+                                for (int64_t ch = 0; ch < c; ch++) px[ch] = 0.0f;
+                            } else {
+                                const uint8_t* sp = src + (sy * w + sx) * c;
+                                for (int64_t ch = 0; ch < c; ch++)
+                                    px[ch] = (float)sp[ch];
+                            }
+                        }
+                    }
+                }
                 out.y[i] = labels[idx];
             }
             std::unique_lock<std::mutex> lk(mu);
-            cv_push.wait(lk, [&] { return queue.size() < capacity || stop.load(); });
+            // block until this batch is within the delivery window, so the
+            // consumer always sees batches in index order regardless of
+            // worker completion order
+            cv_push.wait(lk, [&] {
+                return (out.index < consumed + (int64_t)capacity) || stop.load();
+            });
             if (stop.load()) return;
             queue.push_back(std::move(out));
             produced++;
-            cv_pop.notify_one();
+            cv_pop.notify_all();
         }
     }
 };
@@ -102,14 +145,25 @@ void* mdl_create(const uint8_t* images, const int32_t* labels, int64_t n,
     l->labels = labels;
     l->n = n;
     l->sample_elems = h * w * c;
+    l->h = h;
+    l->w = w;
+    l->c = c;
     return l;
 }
 
 void mdl_destroy(void* handle) { delete (Loader*)handle; }
 
+// Optional augmentation for subsequent epochs (0, 0 disables).
+void mdl_set_augment(void* handle, int pad, int flip) {
+    auto* l = (Loader*)handle;
+    l->aug_pad = pad;
+    l->aug_flip = flip;
+}
+
 int64_t mdl_epoch_start(void* handle, int batch, int shuffle, uint64_t seed,
                         int num_workers, int prefetch) {
     auto* l = (Loader*)handle;
+    l->seed = seed;
     l->join_workers();
     {
         std::lock_guard<std::mutex> lk(l->mu);
@@ -144,18 +198,24 @@ int64_t mdl_epoch_start(void* handle, int batch, int shuffle, uint64_t seed,
 int mdl_next(void* handle, float* out_x, int32_t* out_y) {
     auto* l = (Loader*)handle;
     std::unique_lock<std::mutex> lk(l->mu);
+    auto find_expected = [&]() -> int {
+        for (size_t i = 0; i < l->queue.size(); i++)
+            if (l->queue[i].index == l->consumed) return (int)i;
+        return -1;
+    };
+    int pos;
     for (;;) {
-        if (!l->queue.empty()) break;
+        pos = find_expected();
+        if (pos >= 0) break;
         if (l->consumed >= l->num_batches) return 0;
-        // all batches claimed by workers but queue empty -> wait for pushes
         l->cv_pop.wait_for(lk, std::chrono::milliseconds(50));
         if (l->stop.load()) return 0;
-        if (l->queue.empty() && l->consumed >= l->num_batches) return 0;
+        if (find_expected() < 0 && l->consumed >= l->num_batches) return 0;
     }
-    Batch b = std::move(l->queue.front());
-    l->queue.pop_front();
+    Batch b = std::move(l->queue[pos]);
+    l->queue.erase(l->queue.begin() + pos);
     l->consumed++;
-    l->cv_push.notify_one();
+    l->cv_push.notify_all();
     lk.unlock();
     std::memcpy(out_x, b.x.data(), b.x.size() * sizeof(float));
     std::memcpy(out_y, b.y.data(), b.y.size() * sizeof(int32_t));

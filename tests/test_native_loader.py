@@ -77,3 +77,31 @@ def test_native_idx_parse_matches_python(lib, tmp_path):
 
 def test_build_idempotent():
     assert build_native() in (True, False)
+
+
+def test_native_augment_determinism_and_shape():
+    import numpy as np
+    from mandheling_tpu.data.native import NativeLoader, load_native
+
+    if load_native() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (64, 8, 8, 3)).astype(np.uint8)
+    labels = rng.integers(0, 10, 64).astype(np.int32)
+
+    def collect(seed):
+        dl = NativeLoader(imgs, labels, 16, seed=seed, workers=2,
+                          augment_pad=2, augment_flip=True)
+        return [x.copy() for x, _ in dl.epoch()]
+
+    a, b = collect(7), collect(7)
+    for xa, xb in zip(a, b):
+        np.testing.assert_array_equal(xa, xb)  # same seed -> same batches
+    c = collect(8)
+    assert any((xa != xc).any() for xa, xc in zip(a, c))
+    # augmented pixels are still valid uint8 values or zero padding
+    assert all(x.min() >= 0 and x.max() <= 255 for x in a)
+    # with pad-crop, some zero borders should appear somewhere
+    assert any((x == 0).any() for x in a)

@@ -70,3 +70,44 @@ def quantize_params_tree(float_params: Any) -> Any:
         return quantize_weights(leaf)
 
     return jax.tree.map(q, float_params)
+
+
+# ---- inference export (Transformer::turnModelToInfer + Variable::save of an
+# inference graph, demo/MobilenetV2Utils.cpp:137-146) ----
+
+_MODEL_REGISTRY = {
+    "lenet_niti": ("mandheling_tpu.models", "lenet_niti"),
+    "mobilenet_v1_niti": ("mandheling_tpu.models", "mobilenet_v1_niti"),
+    "mobilenet_v2_niti": ("mandheling_tpu.models", "mobilenet_v2_niti"),
+    "resnet18_niti": ("mandheling_tpu.models", "resnet18_niti"),
+}
+
+
+def export_inference(path: str, model_name: str, params: Any, **model_kwargs):
+    """Save (model identity + params) as a self-describing inference
+    artifact. The model is code (not a serialized graph), so the artifact
+    records which registry constructor rebuilds it — the analog of saving
+    the inference .mnn after training."""
+    if model_name not in _MODEL_REGISTRY:
+        raise ValueError(
+            f"unknown model {model_name!r}; known: {sorted(_MODEL_REGISTRY)}")
+    save_checkpoint(path, params, step=0,
+                    extra={"model": model_name, "kwargs": model_kwargs})
+
+
+def load_inference(path: str):
+    """-> (model, params): rebuild the model from the registry and restore
+    its parameters; `model.fwd(params, QTensor(x, ascale))` serves."""
+    import importlib
+
+    with np.load(path, allow_pickle=False) as data:
+        meta = json.loads(str(data["__meta__"]))
+    extra = meta.get("extra") or {}
+    name = extra.get("model")
+    if name not in _MODEL_REGISTRY:
+        raise ValueError(f"artifact has unknown model {name!r}")
+    mod, fn = _MODEL_REGISTRY[name]
+    model = getattr(importlib.import_module(mod), fn)(**extra.get("kwargs", {}))
+    template = model.init(jax.random.PRNGKey(0))
+    params, _ = load_checkpoint(path, template)
+    return model, params

@@ -91,3 +91,34 @@ def test_qat_lenet_trains():
     assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
     # observers must have moved off init
     assert float(obs["conv1"]["in_max"]) > 0.0
+
+
+def test_export_load_inference_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mandheling_tpu.models import lenet_niti
+    from mandheling_tpu.ops.qtensor import QTensor
+    from mandheling_tpu.utils.checkpoint import export_inference, load_inference
+
+    m = lenet_niti()
+    p = m.init(jax.random.PRNGKey(3))
+    path = str(tmp_path / "model.npz")
+    export_inference(path, "lenet_niti", p)
+    m2, p2 = load_inference(path)
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(-100, 100, (4, 28, 28, 1)), jnp.int8)
+    o1, _ = m.fwd(p, QTensor(x, jnp.int32(-5)))
+    o2, _ = m2.fwd(p2, QTensor(x, jnp.int32(-5)))
+    np.testing.assert_array_equal(np.asarray(o1.data), np.asarray(o2.data))
+    assert int(o1.exp) == int(o2.exp)
+
+
+def test_export_inference_unknown_model(tmp_path):
+    import pytest
+
+    from mandheling_tpu.utils.checkpoint import export_inference
+
+    with pytest.raises(ValueError):
+        export_inference(str(tmp_path / "m.npz"), "nope", [])

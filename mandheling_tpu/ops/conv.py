@@ -27,6 +27,7 @@ shift) so sharded training is bit-identical to single-chip training.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -36,6 +37,44 @@ from . import numerics
 from .kernels import dispatch as _dispatch
 
 _DN = ("NHWC", "HWIO", "NHWC")
+
+# Filter-gradient strategy — the TPU analog of the reference's parallel.txt
+# gradient-op selection (grad/NITI_DSPConv_Int8_Grad.cpp:133-232 chooses
+# between NITI_DSP_PARALLEL_GRADIENTCONV / TRANSPOSEGRADIENT_CONV /
+# GRADIENT_SPLITBatchCONV / CPU GradientCONV by mode file + shape
+# thresholds; NITI_DSPMatmulGradientConv_Int8.cpp:843 is the registered
+# im2col+matmul alternative):
+#   "conv"   — one XLA conv with batch as the contraction dim (default)
+#   "matmul" — explicit im2col + int8 matmul (the reference's
+#              QuantizedIm2col_8 -> QuantizedMatMul_8x8to32 chain); all
+#              FLOPs land in one large MXU matmul
+#   "auto"   — shape-based choice like the reference's threshold logic
+# (Batch splitting, the reference's third strategy, is the microbatched
+# pipeline in parallel/pp.py.)
+_FILTER_GRAD_STRATEGY = "conv"
+_FG_VALID = ("conv", "matmul", "auto")
+
+
+def set_filter_grad_strategy(name: str) -> None:
+    global _FILTER_GRAD_STRATEGY
+    if name not in _FG_VALID:
+        raise ValueError(f"strategy must be one of {_FG_VALID}, got {name!r}")
+    _FILTER_GRAD_STRATEGY = name
+
+
+def get_filter_grad_strategy() -> str:
+    return _FILTER_GRAD_STRATEGY
+
+
+@contextlib.contextmanager
+def use_filter_grad_strategy(name: str):
+    global _FILTER_GRAD_STRATEGY
+    prev = _FILTER_GRAD_STRATEGY
+    set_filter_grad_strategy(name)
+    try:
+        yield
+    finally:
+        _FILTER_GRAD_STRATEGY = prev
 
 
 def resolve_padding(
@@ -174,8 +213,23 @@ def conv2d_filter_grad_acc(
     activations with the transposed output-diff as kernel
     (NITI_GradientConv_Int8.cpp; grad wiring NITI_Conv_Int8_Grad.cpp:134-190);
     on TPU it is one conv with batch as the contraction dim and rhs_dilation
-    carrying the forward stride.
+    carrying the forward stride — or, under the "matmul" strategy, one
+    explicit im2col + int8 matmul. Both produce the identical int32 sum.
     """
+    strategy = _FILTER_GRAD_STRATEGY
+    if strategy == "auto":
+        kh, kw = kernel_spatial
+        # im2col expansion is worth it when the contraction (B*OH*OW) is
+        # large and the patch blow-up (kh*kw) modest — the regime where one
+        # MXU matmul beats the conv's small-batch contraction (the analog of
+        # the reference's oc/width thresholds).
+        strategy = (
+            "matmul"
+            if kh * kw <= 9 and x.shape[0] * gy.shape[1] * gy.shape[2] >= 256
+            else "conv"
+        )
+    if strategy == "matmul":
+        return _filter_grad_acc_matmul(x, gy, kernel_spatial, stride, padding)
     pad = resolve_padding(padding, kernel_spatial, stride, x.shape[1:3])
     # lhs: treat Cin as batch, B as features -> (Cin, H, W, B)
     lhs = x.transpose(3, 1, 2, 0)
@@ -189,6 +243,29 @@ def conv2d_filter_grad_acc(
         rhs_dilation=tuple(stride),
     )  # (Cin, kh, kw, Cout)
     return acc.transpose(1, 2, 0, 3)  # HWIO
+
+
+def _filter_grad_acc_matmul(
+    x: jax.Array,
+    gy: jax.Array,
+    kernel_spatial: Tuple[int, int],
+    stride: Sequence[int],
+    padding,
+) -> jax.Array:
+    """Filter-grad accumulator via im2col + one int8 matmul (the reference's
+    NITI_DSPMatmulGradientConv chain: QuantizedIm2col_8 -> Reshape ->
+    QuantizedMatMul_8x8to32, NITI_DSPMatmulGradientConv_Int8.cpp)."""
+    from .kernels.conv_int8 import im2col
+
+    kh, kw = kernel_spatial
+    ic = x.shape[-1]
+    oc = gy.shape[-1]
+    pad = resolve_padding(padding, kernel_spatial, stride, x.shape[1:3])
+    patches, (oh, ow) = im2col(x, (kh, kw), tuple(stride), pad)
+    assert (oh, ow) == (gy.shape[1], gy.shape[2])
+    gmat = gy.reshape(-1, oc)
+    acc = _dispatch.matmul_acc(patches.T, gmat)  # (KH*KW*IC, OC)
+    return acc.reshape(kh, kw, ic, oc)
 
 
 def conv2d_filter_grad(

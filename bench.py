@@ -23,15 +23,18 @@ import jax.numpy as jnp
 import numpy as np
 
 BATCH = 2048
-ITERS_LO = 5
-ITERS_HI = 55
+ITERS_LO = 10
+ITERS_HI = 210
+ROUNDS = 3
 
 
 def _device_loop_sps(step_fn, init_state, batch):
     """samples/s of `state, loss = step_fn(state)` looped on device.
 
-    The axon relay adds a large fixed cost per dispatch, so the
-    per-iteration time is the difference between a long and a short loop."""
+    The axon relay adds a large, *noisy* fixed cost per dispatch, so the
+    per-iteration time is the difference between a long and a short loop,
+    measured over several rounds with the median taken (single-round
+    differential timing was observed to go negative under relay jitter)."""
     import functools
 
     @functools.partial(jax.jit, static_argnums=1)
@@ -46,12 +49,15 @@ def _device_loop_sps(step_fn, init_state, batch):
 
     np.asarray(run(init_state, ITERS_LO))  # compile + warm
     np.asarray(run(init_state, ITERS_HI))
-    t0 = time.perf_counter()
-    np.asarray(run(init_state, ITERS_LO))  # forced scalar readbacks
-    t1 = time.perf_counter()
-    np.asarray(run(init_state, ITERS_HI))
-    t2 = time.perf_counter()
-    dt = ((t2 - t1) - (t1 - t0)) / (ITERS_HI - ITERS_LO)
+    deltas = []
+    for _ in range(ROUNDS):
+        t0 = time.perf_counter()
+        np.asarray(run(init_state, ITERS_LO))  # forced scalar readbacks
+        t1 = time.perf_counter()
+        np.asarray(run(init_state, ITERS_HI))
+        t2 = time.perf_counter()
+        deltas.append(((t2 - t1) - (t1 - t0)) / (ITERS_HI - ITERS_LO))
+    dt = float(np.median(deltas))
     return batch / dt
 
 

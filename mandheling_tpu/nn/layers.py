@@ -63,10 +63,13 @@ class NITIConv2D(NITILayer):
         gx = conv_ops.conv2d_input_grad(
             gy, w.data, (x.shape[1], x.shape[2]), self.stride, self.padding, axis_name
         )
+        return gx, self.bwd_params_only(params, res, gy, axis_name)
+
+    def bwd_params_only(self, params, res, gy, axis_name=None):
         gw = conv_ops.conv2d_filter_grad(
-            x, gy, self.kernel, self.stride, self.padding, axis_name
+            res, gy, self.kernel, self.stride, self.padding, axis_name
         )
-        return gx, {"w": QTensor(gw, jnp.int32(0))}
+        return {"w": QTensor(gw, jnp.int32(0))}
 
 
 class NITIRelu(NITILayer):

@@ -50,6 +50,20 @@ class NITILayer:
     ) -> Tuple[jax.Array, Grads]:
         raise NotImplementedError
 
+    def bwd_params_only(
+        self,
+        params: Params,
+        res: Residuals,
+        gy: jax.Array,
+        axis_name: Optional[str] = None,
+    ) -> Grads:
+        """Parameter gradients without the input gradient. The model's first
+        layer never needs an input gradient (the reference likewise wires no
+        consumer for it), and for a conv that skips an entire deconv.
+        Default falls back to the full backward."""
+        _, grads = self.bwd(params, res, gy, axis_name)
+        return grads
+
 
 class Sequential:
     """Ordered layer list; mirrors the reference's Module/registerModel
@@ -77,9 +91,18 @@ class Sequential:
         residuals: List[Residuals],
         gy: jax.Array,
         axis_name: Optional[str] = None,
-    ) -> Tuple[jax.Array, List[Grads]]:
+        need_input_grad: bool = True,
+    ) -> Tuple[Optional[jax.Array], List[Grads]]:
+        """Reverse sweep. With need_input_grad=False the first layer's input
+        gradient is skipped (returns None in its place) — the training step
+        never consumes it, and for conv models that drops a whole deconv."""
         grads: List[Grads] = [None] * len(self.layers)
         for i in range(len(self.layers) - 1, -1, -1):
+            if i == 0 and not need_input_grad:
+                grads[0] = self.layers[0].bwd_params_only(
+                    params[0], residuals[0], gy, axis_name
+                )
+                return None, grads
             gy, grads[i] = self.layers[i].bwd(
                 params[i], residuals[i], gy, axis_name
             )

@@ -44,15 +44,20 @@ _DN = ("NHWC", "HWIO", "NHWC")
 # GRADIENT_SPLITBatchCONV / CPU GradientCONV by mode file + shape
 # thresholds; NITI_DSPMatmulGradientConv_Int8.cpp:843 is the registered
 # im2col+matmul alternative):
-#   "conv"   — one XLA conv with batch as the contraction dim (default)
+#   "conv"   — one XLA conv with batch as the contraction dim
 #   "matmul" — explicit im2col + int8 matmul (the reference's
-#              QuantizedIm2col_8 -> QuantizedMatMul_8x8to32 chain); all
-#              FLOPs land in one large MXU matmul
+#              QuantizedIm2col_8 -> QuantizedMatMul_8x8to32 chain)
+#   "corr"   — stacked-slab correlation: one (kh*Wp*ic, OW*oc) MXU GEMM +
+#              banded gather-sum; keeps M*N large when ic is small (the
+#              "conv" form degenerates to a batch-1 conv there)
 #   "auto"   — shape-based choice like the reference's threshold logic
+#              (TPU-measured: conv everywhere except ic<=8 stride-1 -> corr;
+#               plain "matmul" loses at every LeNet shape because its GEMM
+#               output is kh*kw*ic x oc — too skinny for the MXU)
 # (Batch splitting, the reference's third strategy, is the microbatched
 # pipeline in parallel/pp.py.)
-_FILTER_GRAD_STRATEGY = "conv"
-_FG_VALID = ("conv", "matmul", "auto")
+_FILTER_GRAD_STRATEGY = "auto"
+_FG_VALID = ("conv", "matmul", "corr", "auto")
 
 
 def set_filter_grad_strategy(name: str) -> None:
@@ -120,6 +125,15 @@ def conv2d_int8_acc(
     return _dispatch.conv_acc(x, w, tuple(stride), pad)
 
 
+def _fused_enabled() -> Optional[bool]:
+    """None if the fused Pallas conv path is off (XLA backend), else the
+    interpret flag for the selected Pallas mode."""
+    backend = _dispatch.get_backend()
+    if backend == "xla":
+        return None
+    return backend == "pallas_interpret"
+
+
 def conv2d_forward(
     x: jax.Array,
     x_exp: jax.Array,
@@ -133,11 +147,35 @@ def conv2d_forward(
 
     exp_out = x_exp + w_exp + shift where shift comes from the range
     estimate of the int32 accumulator (NITI_Conv_Int8.cpp:255-307).
+
+    Under the Pallas backends, stride-1 convs run through the fused
+    two-phase kernels (ops/kernels/fused_conv_int8.py): the int32
+    accumulator never hits HBM; the cross-replica pmax slots between the
+    max and requant phases.
     """
+    exp_in = x_exp.astype(jnp.int32) + w_exp.astype(jnp.int32)
+    interpret = _fused_enabled()
+    if interpret is not None:
+        from .kernels import fused_conv_int8 as _fused
+
+        kernel = (w.shape[0], w.shape[1])
+        pad = resolve_padding(padding, kernel, stride, x.shape[1:3])
+        wp = x.shape[2] + pad[1][0] + pad[1][1]
+        if _fused.supports(w.shape, wp, stride):
+            m = _maybe_pmax(
+                _fused.conv_max_pallas(x, w, kernel, pad,
+                                       interpret=interpret),
+                axis_name,
+            )
+            bw = numerics.range_estimate_from_max(m)
+            eff_shift = numerics.forward_shift(bw)
+            y = _fused.conv_requant_pallas(
+                x, w, eff_shift, kernel, pad, grad=False, interpret=interpret
+            )
+            return y, exp_in + eff_shift
     acc = conv2d_int8_acc(x, w, stride, padding)
     m = _maybe_pmax(jnp.max(jnp.abs(acc)), axis_name)
     bw = numerics.range_estimate_from_max(m)
-    exp_in = x_exp.astype(jnp.int32) + w_exp.astype(jnp.int32)
     return numerics.requant_forward_from_bw(acc, exp_in, bw)
 
 
@@ -190,7 +228,40 @@ def conv2d_input_grad(
     """int8 input gradient with the forward-style bw-7 requant
     (NITI_DeConv_Int8.cpp:294-318; gradient exponents are not threaded —
     the reference's grad rules return scalar-0 exponents).
+
+    Under the Pallas backends, the stride-1 case (no lhs dilation needed)
+    runs through the fused two-phase kernels with the rotated weights.
     """
+    interpret = _fused_enabled()
+    if interpret is not None and tuple(stride) == (1, 1):
+        from .kernels import fused_conv_int8 as _fused
+
+        kh, kw = w.shape[0], w.shape[1]
+        (pt, _pb), (pl_, _pr) = resolve_padding(
+            padding, (kh, kw), stride, x_spatial
+        )
+        w_rot = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+        ih, iw = x_spatial
+        oh, ow = gy.shape[1], gy.shape[2]
+        pad_top = kh - 1 - pt
+        pad_left = kw - 1 - pl_
+        pad_bottom = ih - oh - pad_top + kh - 1
+        pad_right = iw - ow - pad_left + kw - 1
+        pad = ((pad_top, pad_bottom), (pad_left, pad_right))
+        wp = ow + pad_left + pad_right
+        if min(pad_top, pad_left, pad_bottom, pad_right) >= 0 and \
+                _fused.supports(w_rot.shape, wp, stride):
+            m = _maybe_pmax(
+                _fused.conv_max_pallas(gy, w_rot, (kh, kw), pad,
+                                       interpret=interpret),
+                axis_name,
+            )
+            bw = numerics.range_estimate_from_max(m)
+            eff_shift = numerics.forward_shift(bw)
+            return _fused.conv_requant_pallas(
+                gy, w_rot, eff_shift, (kh, kw), pad, grad=False,
+                interpret=interpret,
+            )
     acc = conv2d_input_grad_acc(gy, w, x_spatial, stride, padding)
     m = _maybe_pmax(jnp.max(jnp.abs(acc)), axis_name)
     bw = numerics.range_estimate_from_max(m)
@@ -217,19 +288,19 @@ def conv2d_filter_grad_acc(
     explicit im2col + int8 matmul. Both produce the identical int32 sum.
     """
     strategy = _FILTER_GRAD_STRATEGY
+    stride1 = tuple(stride) == (1, 1)
     if strategy == "auto":
-        kh, kw = kernel_spatial
-        # im2col expansion is worth it when the contraction (B*OH*OW) is
-        # large and the patch blow-up (kh*kw) modest — the regime where one
-        # MXU matmul beats the conv's small-batch contraction (the analog of
-        # the reference's oc/width thresholds).
-        strategy = (
-            "matmul"
-            if kh * kw <= 9 and x.shape[0] * gy.shape[1] * gy.shape[2] >= 256
-            else "conv"
-        )
+        # The conv formulation runs with ic as the conv batch — measured on
+        # TPU it degenerates when ic is small (a batch-1 conv with a huge
+        # moving window: 0.65 ms vs ~0.07 ms class for the LeNet 1-channel
+        # first layer); the correlation form keeps one large MXU GEMM — the
+        # analog of the reference's shape-threshold strategy selection
+        # (NITI_DSPConv_Int8_Grad.cpp:133-232).
+        strategy = "corr" if x.shape[-1] <= 8 and stride1 else "conv"
     if strategy == "matmul":
         return _filter_grad_acc_matmul(x, gy, kernel_spatial, stride, padding)
+    if strategy == "corr" and stride1:
+        return _filter_grad_acc_corr(x, gy, kernel_spatial, padding)
     pad = resolve_padding(padding, kernel_spatial, stride, x.shape[1:3])
     # lhs: treat Cin as batch, B as features -> (Cin, H, W, B)
     lhs = x.transpose(3, 1, 2, 0)
@@ -243,6 +314,49 @@ def conv2d_filter_grad_acc(
         rhs_dilation=tuple(stride),
     )  # (Cin, kh, kw, Cout)
     return acc.transpose(1, 2, 0, 3)  # HWIO
+
+
+def _filter_grad_acc_corr(
+    x: jax.Array,
+    gy: jax.Array,
+    kernel_spatial: Tuple[int, int],
+    padding,
+) -> jax.Array:
+    """Filter-grad accumulator via stacked-slab correlation (stride 1).
+
+    A[(b,i), (dy,wi,c)] = x_padded[b, i+dy, wi, c]   (kh row-slabs stacked)
+    C[(b,i), (j,o)]     = gy[b, i, j, o]
+    P = A^T @ C  — one (kh*Wp*ic, OW*oc) MXU GEMM with the huge B*OH
+    contraction — then dw[dy,dx,c,o] = sum_j P[(dy, j+dx, c), (j, o)], a
+    banded gather-sum over a tiny matrix. This keeps the GEMM output large
+    where the batch-contraction conv degenerates (ic small -> conv batch 1).
+    """
+    kh, kw = kernel_spatial
+    ic, oc = x.shape[-1], gy.shape[-1]
+    pad = resolve_padding(padding, kernel_spatial, (1, 1), x.shape[1:3])
+    xp = jnp.pad(x, ((0, 0), pad[0], pad[1], (0, 0)))
+    b, hp, wp, _ = xp.shape
+    oh, ow = gy.shape[1], gy.shape[2]
+    assert oh == hp - kh + 1 and ow == wp - kw + 1
+    # keep operands in their natural 4/5-D shapes and contract (b, oh) with
+    # dot_general directly — explicit 2-D reshapes here forced XLA into a
+    # layout-hostile copy that dominated the whole training step (profiled:
+    # one reshape = 0.86 ms vs the 0.28 ms GEMM)
+    slabs = jnp.stack(
+        [xp[:, dy : dy + oh] for dy in range(kh)], axis=2
+    )  # (b, oh, kh, wp, ic)
+    p = jax.lax.dot_general(
+        slabs, gy,
+        dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (kh, wp, ic, ow, oc)
+    j = jnp.arange(ow)
+    dy_i = jnp.arange(kh)[:, None, None, None, None]
+    dx_i = jnp.arange(kw)[None, :, None, None, None]
+    c_i = jnp.arange(ic)[None, None, :, None, None]
+    o_i = jnp.arange(oc)[None, None, None, :, None]
+    j_i = j[None, None, None, None, :]
+    return jnp.sum(p[dy_i, j_i + dx_i, c_i, j_i, o_i], axis=-1)
 
 
 def _filter_grad_acc_matmul(

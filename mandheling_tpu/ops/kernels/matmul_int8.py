@@ -100,7 +100,20 @@ def matmul_acc_pallas_padded(
 def matmul_acc_pallas(
     a: jax.Array, b: jax.Array, interpret: bool = False
 ) -> Optional[jax.Array]:
-    """Dispatch entry: returns None to fall back to XLA when unsupported."""
+    """Dispatch entry: returns None to fall back to XLA when unsupported or
+    unprofitable (tile padding would inflate the dominant operand's HBM
+    traffic — e.g. K=25 conv patches padded to 256 cost 10x the bytes, and
+    XLA's own int8 dot handles skinny shapes without materialized padding)."""
     if a.ndim != 2 or b.ndim != 2:
         return None
-    return matmul_acc_pallas_padded(a, b, interpret=interpret)
+    m, k = a.shape
+    n = b.shape[1]
+    if k < 128 or n < 64:
+        return None
+    tile_k = min(256, _round_up(k, 128))
+    tile_n = min(256, _round_up(n, 128))
+    if _round_up(k, tile_k) * m > 2 * k * m:  # padded A traffic > 2x true
+        return None
+    return matmul_acc_pallas_padded(
+        a, b, interpret=interpret, tile_n=tile_n, tile_k=tile_k
+    )

@@ -132,14 +132,20 @@ def requant_forward(acc: jax.Array, exp_in: jax.Array):
     return requant_forward_from_bw(acc, exp_in, bw)
 
 
+def forward_shift(bw: jax.Array) -> jax.Array:
+    """Effective forward shift from the bitwidth: bw-7, promoted to 2 when
+    exactly 1, 0 when <= 0 (NITI_Conv_Int8.cpp:262-305)."""
+    shift = bw - 7
+    return jnp.where(shift > 1, shift, jnp.where(shift == 1, 2, 0))
+
+
 def requant_forward_from_bw(acc: jax.Array, exp_in: jax.Array, bw: jax.Array):
     """Forward requantization given a precomputed bitwidth (see requant_forward).
 
     Split out so data-parallel callers can compute `bw` from a cross-replica
     pmax of |acc| and keep every replica's shift identical.
     """
-    shift = bw - 7
-    eff_shift = jnp.where(shift > 1, shift, jnp.where(shift == 1, 2, 0))
+    eff_shift = forward_shift(bw)
     exp_out = exp_in.astype(jnp.int32) + eff_shift
     shifted = psto_round(acc, eff_shift)
     # shift <= 0 path is a *plain C cast* to int8 (wraps, not clips):

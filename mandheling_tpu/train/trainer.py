@@ -49,9 +49,13 @@ def train_niti(
     checkpoint_path: Optional[str] = None,
     start_params=None,
     start_epoch: int = 0,
+    model=None,
 ):
-    """NITIInt8Train loop -> (params, final_test_accuracy)."""
-    model = lenet_niti()
+    """NITIInt8Train loop -> (params, final_test_accuracy). `model` defaults
+    to the NITI LeNet; any Sequential NITI model works (the reference's
+    MobilenetV2Utils::train reuses the same loop shape,
+    demo/MobilenetV2Utils.cpp:34)."""
+    model = model if model is not None else lenet_niti()
     params = (
         start_params
         if start_params is not None

@@ -38,9 +38,12 @@ def test_matmul_strategy_matches_conv(b, h, w, ic, oc, k, s, pad):
     with conv_ops.use_filter_grad_strategy("matmul"):
         acc_mm = conv_ops.conv2d_filter_grad_acc(x, gy, k, s, pad)
         g_mm = conv_ops.conv2d_filter_grad(x, gy, k, s, pad)
+    with conv_ops.use_filter_grad_strategy("corr"):
+        acc_corr = conv_ops.conv2d_filter_grad_acc(x, gy, k, s, pad)
 
     np.testing.assert_array_equal(np.asarray(acc_conv), np.asarray(acc_mm))
     np.testing.assert_array_equal(np.asarray(g_conv), np.asarray(g_mm))
+    np.testing.assert_array_equal(np.asarray(acc_conv), np.asarray(acc_corr))
 
 
 def test_auto_strategy_runs_and_matches():

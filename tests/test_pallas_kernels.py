@@ -10,7 +10,10 @@ import pytest
 from mandheling_tpu.ops import conv as conv_ops
 from mandheling_tpu.ops.kernels import use_backend
 from mandheling_tpu.ops.kernels.conv_int8 import conv_acc_pallas, im2col
-from mandheling_tpu.ops.kernels.matmul_int8 import matmul_acc_pallas
+from mandheling_tpu.ops.kernels.matmul_int8 import (
+    matmul_acc_pallas,
+    matmul_acc_pallas_padded,
+)
 
 
 def rand_int8(rng, shape):
@@ -25,7 +28,21 @@ def test_pallas_matmul_matches_xla(m, k, n):
     expected = jnp.dot(
         a.astype(jnp.int32), b.astype(jnp.int32)
     )
+    got = matmul_acc_pallas_padded(a, b, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+
+
+def test_pallas_matmul_dispatch_falls_back_on_skinny_shapes():
+    """The dispatch entry declines shapes whose tile padding would inflate
+    HBM traffic (K<128 or N<64) — the caller then uses XLA's dot."""
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rand_int8(rng, (256, 25)))
+    b = jnp.asarray(rand_int8(rng, (25, 20)))
+    assert matmul_acc_pallas(a, b, interpret=True) is None
+    a = jnp.asarray(rand_int8(rng, (256, 256)))
+    b = jnp.asarray(rand_int8(rng, (256, 128)))
     got = matmul_acc_pallas(a, b, interpret=True)
+    expected = jnp.dot(a.astype(jnp.int32), b.astype(jnp.int32))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
 
 

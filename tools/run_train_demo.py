@@ -206,6 +206,67 @@ def distributed_niti_train(args):
         print(f"epoch {epoch}: loss {float(loss):.4f} test_acc {correct/max(nt,1):.4f}")
 
 
+@demo("MobilenetV2Train")
+def mobilenet_v2_train(args):
+    """NITI int8 MobileNetV2 on CIFAR-10 (reference
+    MobilenetV2Utils::train, demo/MobilenetV2Utils.cpp:34; CIFAR bin root or
+    synthetic fallback)."""
+    from mandheling_tpu.data.cifar import load_or_synthesize_cifar
+    from mandheling_tpu.models import mobilenet_v2_niti
+    from mandheling_tpu.train.trainer import train_niti
+
+    xtr, ytr, real = load_or_synthesize_cifar(args.root, train=True,
+                                              synth_n=512)
+    xte, yte, _ = load_or_synthesize_cifar(args.root, train=False,
+                                           synth_n=256)
+    if not real:
+        print("(no CIFAR-10 bin files found — using synthetic dataset)")
+    _, acc = train_niti((xtr, ytr), (xte, yte), epochs=args.epochs,
+                        batch=32 if real else 16, model=mobilenet_v2_niti())
+    print(f"final test accuracy: {acc:.4f}")
+
+
+@demo("PipelineNITITrain")
+def pipeline_niti_train(args):
+    """Pipeline-parallel NITI training (GPipe over a 'pipe' mesh axis) —
+    the TPU generalization of the reference's CPU||DSP parallel-gradient
+    co-scheduling (CPUBackend.cpp:209-263, SURVEY.md section 2.10)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mandheling_tpu.data import onehot_padded
+    from mandheling_tpu.parallel.pp import (
+        init_pp_params,
+        make_pp_train_step,
+        pipe_mesh,
+        quantize_microbatches,
+        shard_pp_params,
+    )
+
+    n = len(jax.devices())
+    stages = 4 if n >= 4 else (2 if n >= 2 else 1)
+    channels, blocks, micro, mb = 32, 2 * max(stages, 1), 4, 64
+    mesh = pipe_mesh(n_stages=stages)
+    print(f"mesh: {stages} pipeline stages, {blocks} blocks, "
+          f"{micro} microbatches x {mb}")
+    step = make_pp_train_step(mesh, n_microbatches=micro, donate=False)
+    params = shard_pp_params(
+        mesh, init_pp_params(jax.random.PRNGKey(0), blocks, channels)
+    )
+    rng = np.random.default_rng(0)
+    wstar = rng.normal(0, 1, (channels, 10))
+    for it in range(args.epochs * 8):
+        xf = rng.normal(0, 1, (micro * mb, 1, 1, channels)).astype(np.float32)
+        labels = np.argmax(xf.reshape(-1, channels) @ wstar, axis=1)
+        oh = onehot_padded(labels, 10, channels).reshape(micro, mb, channels)
+        x_d, x_e = quantize_microbatches(jnp.asarray(xf), micro)
+        params, loss = step(params, x_d, x_e, jnp.asarray(oh))
+        if it % 8 == 0:
+            print(f"iter {it}: loss {float(loss):.4f}")
+    print(f"final loss: {float(loss):.4f}")
+
+
 @demo("NnGradTest")
 def nn_grad_test(args):
     """Gradient correctness check (reference nnGradTest.cpp / DEBUG_GRAD

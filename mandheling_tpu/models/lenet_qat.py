@@ -1,7 +1,16 @@
 """MnistInt8: the fake-quant QAT LeNet (reference `MnistInt8`,
 demo/mnistTrain.cpp:78-130 — conv(1->20), conv(20->50), fc(800->500) relu6 +
 dropout(0.5), fc(500->10); trained with float SGD over fake-quantized
-weights/activations)."""
+weights/activations).
+
+Documented deviation: the reference sets `convOption.depthwise = true` on
+conv2 while giving it channel = {20, 50} (demo/mnistTrain.cpp:86-92) —
+a depthwise conv with ic != oc, which MNN resolves through its grouped-conv
+path. We use a dense 20->50 conv instead: the mixed depthwise/group oddity
+looks like a config slip in the reference (every other depthwise use in the
+tree has ic == oc), and a dense conv is the straightforward reading of the
+layer's 20->50 shape. Depthwise QAT itself is covered by the MobileNet
+models (models/mobilenet.py)."""
 
 from __future__ import annotations
 

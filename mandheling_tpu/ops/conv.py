@@ -134,6 +134,63 @@ def _fused_enabled() -> Optional[bool]:
     return backend == "pallas_interpret"
 
 
+def _fused_conv_requant(
+    x: jax.Array,
+    w: jax.Array,
+    stride: Tuple[int, int],
+    pad: Tuple[Tuple[int, int], Tuple[int, int]],
+    axis_name: Optional[str],
+    interpret: bool,
+) -> Optional[Tuple[jax.Array, jax.Array]]:
+    """Run the conv through a fused two-phase Pallas kernel (int32
+    accumulator never in HBM), forward-requant semantics.
+
+    Routes 1x1 convs to the fused matmul (a 1x1 stride-s conv is a strided
+    slice + GEMM — zero structural waste) and everything else to the banded
+    conv kernels when eligible. Returns (int8 y, eff_shift) or None when no
+    fused kernel supports the shape (caller falls back to the unfused
+    path). The cross-replica pmax for data parallelism slots between the
+    max and requant phases, exactly like the unfused path.
+    """
+    from .kernels import fused_conv_int8 as _fused
+    from .kernels import fused_matmul_int8 as _fmm
+
+    kh, kw, ic, oc = w.shape
+    sh, sw = stride
+    if kh == 1 and kw == 1:
+        if pad != ((0, 0), (0, 0)):
+            x = jnp.pad(x, ((0, 0), pad[0], pad[1], (0, 0)))
+        if (sh, sw) != (1, 1):
+            x = x[:, ::sh, ::sw, :]
+        b, h, w_sp, _ = x.shape
+        if not _fmm.supports(b * h * w_sp, ic, oc):
+            return None
+        a2 = x.reshape(b * h * w_sp, ic)
+        w2 = w.reshape(ic, oc)
+        m = _maybe_pmax(
+            _fmm.matmul_max_pallas(a2, w2, interpret=interpret), axis_name
+        )
+        eff_shift = numerics.forward_shift(numerics.range_estimate_from_max(m))
+        y = _fmm.matmul_requant_pallas(
+            a2, w2, eff_shift, grad=False, interpret=interpret
+        )
+        return y.reshape(b, h, w_sp, oc), eff_shift
+    wp = x.shape[2] + pad[1][0] + pad[1][1]
+    if not _fused.supports(w.shape, wp, stride):
+        return None
+    m = _maybe_pmax(
+        _fused.conv_max_pallas(x, w, (kh, kw), pad, stride,
+                               interpret=interpret),
+        axis_name,
+    )
+    eff_shift = numerics.forward_shift(numerics.range_estimate_from_max(m))
+    y = _fused.conv_requant_pallas(
+        x, w, eff_shift, (kh, kw), pad, stride, grad=False,
+        interpret=interpret,
+    )
+    return y, eff_shift
+
+
 def conv2d_forward(
     x: jax.Array,
     x_exp: jax.Array,
@@ -156,22 +213,12 @@ def conv2d_forward(
     exp_in = x_exp.astype(jnp.int32) + w_exp.astype(jnp.int32)
     interpret = _fused_enabled()
     if interpret is not None:
-        from .kernels import fused_conv_int8 as _fused
-
-        kernel = (w.shape[0], w.shape[1])
-        pad = resolve_padding(padding, kernel, stride, x.shape[1:3])
-        wp = x.shape[2] + pad[1][0] + pad[1][1]
-        if _fused.supports(w.shape, wp, stride):
-            m = _maybe_pmax(
-                _fused.conv_max_pallas(x, w, kernel, pad,
-                                       interpret=interpret),
-                axis_name,
-            )
-            bw = numerics.range_estimate_from_max(m)
-            eff_shift = numerics.forward_shift(bw)
-            y = _fused.conv_requant_pallas(
-                x, w, eff_shift, kernel, pad, grad=False, interpret=interpret
-            )
+        pad = resolve_padding(padding, w.shape[:2], stride, x.shape[1:3])
+        fused = _fused_conv_requant(
+            x, w, tuple(stride), pad, axis_name, interpret
+        )
+        if fused is not None:
+            y, eff_shift = fused
             return y, exp_in + eff_shift
     acc = conv2d_int8_acc(x, w, stride, padding)
     m = _maybe_pmax(jnp.max(jnp.abs(acc)), axis_name)
@@ -229,14 +276,15 @@ def conv2d_input_grad(
     (NITI_DeConv_Int8.cpp:294-318; gradient exponents are not threaded —
     the reference's grad rules return scalar-0 exponents).
 
-    Under the Pallas backends, the stride-1 case (no lhs dilation needed)
-    runs through the fused two-phase kernels with the rotated weights.
+    Under the Pallas backends this runs through the fused two-phase kernels
+    with the rotated weights; strided cases zero-dilate the int8 output-diff
+    first (the materialized `_NITI_LeftPoolGrad` — cheap, it is int8) and
+    then run the stride-1 fused kernel.
     """
     interpret = _fused_enabled()
-    if interpret is not None and tuple(stride) == (1, 1):
-        from .kernels import fused_conv_int8 as _fused
-
+    if interpret is not None:
         kh, kw = w.shape[0], w.shape[1]
+        sh, sw = stride
         (pt, _pb), (pl_, _pr) = resolve_padding(
             padding, (kh, kw), stride, x_spatial
         )
@@ -245,23 +293,22 @@ def conv2d_input_grad(
         oh, ow = gy.shape[1], gy.shape[2]
         pad_top = kh - 1 - pt
         pad_left = kw - 1 - pl_
-        pad_bottom = ih - oh - pad_top + kh - 1
-        pad_right = iw - ow - pad_left + kw - 1
+        dil_h = (oh - 1) * sh + 1
+        dil_w = (ow - 1) * sw + 1
+        pad_bottom = ih - dil_h - pad_top + kh - 1
+        pad_right = iw - dil_w - pad_left + kw - 1
         pad = ((pad_top, pad_bottom), (pad_left, pad_right))
-        wp = ow + pad_left + pad_right
-        if min(pad_top, pad_left, pad_bottom, pad_right) >= 0 and \
-                _fused.supports(w_rot.shape, wp, stride):
-            m = _maybe_pmax(
-                _fused.conv_max_pallas(gy, w_rot, (kh, kw), pad,
-                                       interpret=interpret),
-                axis_name,
+        if min(pad_top, pad_left, pad_bottom, pad_right) >= 0:
+            gy_d = gy
+            if (sh, sw) != (1, 1):
+                gy_d = jnp.zeros(
+                    (gy.shape[0], dil_h, dil_w, gy.shape[3]), gy.dtype
+                ).at[:, ::sh, ::sw, :].set(gy)
+            fused = _fused_conv_requant(
+                gy_d, w_rot, (1, 1), pad, axis_name, interpret
             )
-            bw = numerics.range_estimate_from_max(m)
-            eff_shift = numerics.forward_shift(bw)
-            return _fused.conv_requant_pallas(
-                gy, w_rot, eff_shift, (kh, kw), pad, grad=False,
-                interpret=interpret,
-            )
+            if fused is not None:
+                return fused[0]
     acc = conv2d_input_grad_acc(gy, w, x_spatial, stride, padding)
     m = _maybe_pmax(jnp.max(jnp.abs(acc)), axis_name)
     bw = numerics.range_estimate_from_max(m)

@@ -6,19 +6,24 @@ be shifted (`NITI_Conv_Int8.cpp:255-307`), so a straightforward lowering
 materializes the int32 accumulator and reads it twice (one pass for the
 range estimate, one for the pseudo-stochastic shift) — 3 HBM passes of a
 tensor 4x larger than the int8 output. Measured on TPU, that traffic
-dominates the whole training step (tools/fusion_probe.py: XLA does not fuse
-the reduction into the conv, and recompute-via-optimization_barrier is
-slower because the conv output is materialized regardless).
+dominates the whole training step (tools/probes/fusion_probe.py: XLA does
+not fuse the reduction into the conv, and recompute-via-
+optimization_barrier is slower because the conv output is materialized
+regardless).
 
 These kernels do what the hardware wants instead. The conv is decomposed as
 kh *banded matmuls*: the (kw, oc) kernel taps fold into a per-kernel-row
 band matrix B_dy of shape (W_in*ic, OW*oc) with
-B_dy[wi*ic + c, owi*oc + o] = w[dy, wi-owi, c, o] (zero outside the band),
+B_dy[(owi*sw + dx)*ic + c, owi*oc + o] = w[dy, dx, c, o] (zero elsewhere),
 so acc[(b,oh), (owi,o)] = sum_dy slab_dy @ B_dy, where slab_dy is the dense
-row-slab x_padded[:, dy:dy+oh, :, :] flattened to (B*OH, W_in*ic). The
-slabs are materialized by XLA (cheap: kh small int8 copies) so the kernels
-see plain 2D blocks — no in-kernel gather/relayout, every matmul lands on
-the MXU.
+row-slab x_padded[:, dy : dy+(oh-1)*sh+1 : sh, :, :] flattened to
+(B*OH, W_in*ic). The slabs are materialized by XLA (cheap: kh small int8
+copies) so the kernels see plain 2D blocks — no in-kernel gather/relayout,
+every matmul lands on the MXU. Arbitrary forward stride (sh, sw) is carried
+by the slab row-stride and the band column placement; strided *input
+gradients* (lhs dilation) are handled by the caller zero-dilating the int8
+output-diff first (the reference's `_NITI_LeftPoolGrad` chain,
+grad/NITI_Conv_Int8_Grad.cpp:92-123) and running the stride-1 kernel.
 
 - phase 1 (`max` pass): per-tile banded matmuls into a VMEM scratch
   accumulator, global max|acc| accumulated across grid steps in SMEM.
@@ -31,13 +36,17 @@ the MXU.
   shift epilogue in-kernel (in lane chunks to bound temporaries), write
   int8 only.
 
-The banded form wastes W_in/kw of the MXU flops on structural zeros —
-irrelevant at these intensities. Band VMEM footprint gates eligibility
-(`supports`); strided/dilated convs fall back to the unfused path.
+Large models tile the output-column dimension: the grid is (nj, ni) with
+the column-block index outermost, so each band block stays resident in VMEM
+while the row slabs stream past it. The banded form wastes W_in/kw of the
+MXU flops on structural zeros — irrelevant at these arithmetic intensities
+for the small-W shapes it is selected for; `supports()` gates eligibility
+by band VMEM footprint, and 1x1 convs go through the fused *matmul* kernels
+(ops/kernels/fused_matmul_int8.py) instead, which have no structural waste.
 
 The DSP analog is the modified Supernode that computes the requant shift
-on-DSP inside the conv (`niti_op_supernode_new.c:6086-6094`); this is the
-same fusion, TPU-style.
+on-DSP inside the conv for every conv shape, strided included
+(`niti_op_supernode_new.c:4630-6094`); this is the same fusion, TPU-style.
 """
 
 from __future__ import annotations
@@ -53,13 +62,15 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import numerics
 
 _EPI_CHUNK = 128
+_BAND_BUDGET = 4 * 2**20
+_STACK_BUDGET = 9 * 2**20
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _build_bands(w: jax.Array, wp: int, ow: int) -> jax.Array:
+def _build_bands(w: jax.Array, wp: int, ow: int, sw: int) -> jax.Array:
     """(kh, kw, ic, oc) int8 -> (kh, wp*ic, Np) banded matrices (Np padded
     to a lane multiple). Built once per step outside the kernel (tiny)."""
     kh, kw, ic, oc = w.shape
@@ -69,17 +80,21 @@ def _build_bands(w: jax.Array, wp: int, ow: int) -> jax.Array:
     for dy in range(kh):
         band = jnp.zeros((wp, ic, ow, oc), jnp.int8)
         for dx in range(kw):
-            band = band.at[owi + dx, :, owi, :].set(w[dy, dx][None])
+            band = band.at[owi * sw + dx, :, owi, :].set(w[dy, dx][None])
         band = band.reshape(wp * ic, ow * oc)
         bands.append(jnp.pad(band, ((0, 0), (0, np_ - ow * oc))))
     return jnp.stack(bands)
 
 
-def _build_slabs(xp: jax.Array, kh: int, oh: int) -> jax.Array:
-    """Padded NHWC x -> (kh, B*OH, W_in*ic) int8 dense row-slabs."""
+def _build_slabs(xp: jax.Array, kh: int, oh: int, sh: int) -> jax.Array:
+    """Padded NHWC x -> (kh, B*OH, W_in*ic) int8 dense row-slabs (row
+    stride sh carries the forward H-stride)."""
     b, hp, wp, ic = xp.shape
     return jnp.stack(
-        [xp[:, dy : dy + oh].reshape(b * oh, wp * ic) for dy in range(kh)]
+        [
+            xp[:, dy : dy + (oh - 1) * sh + 1 : sh].reshape(b * oh, wp * ic)
+            for dy in range(kh)
+        ]
     )
 
 
@@ -98,15 +113,15 @@ def _acc_into(acc_ref, s_refs, b_ref, kh: int):
 
 
 def _max_kernel(s_refs, b_ref, m_ref, acc_ref, *, kh):
-    i = pl.program_id(0)
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
     _acc_into(acc_ref, s_refs, b_ref, kh)
     tmax = jnp.max(jnp.abs(acc_ref[:]))
 
-    @pl.when(i == 0)
+    @pl.when(first)
     def _():
         m_ref[0, 0] = tmax
 
-    @pl.when(i != 0)
+    @pl.when(jnp.logical_not(first))
     def _():
         m_ref[0, 0] = jnp.maximum(m_ref[0, 0], tmax)
 
@@ -119,14 +134,14 @@ def _fwd_epilogue(acc, shift):
     return jnp.where(shift > 0, shifted, plain).astype(jnp.int8)
 
 
-def _requant_kernel(shift_ref, s_refs, b_ref, y_ref, acc_ref, *, kh, nout,
+def _requant_kernel(shift_ref, s_refs, b_ref, y_ref, acc_ref, *, kh, bn,
                     grad):
     _acc_into(acc_ref, s_refs, b_ref, kh)
     shift = shift_ref[0]
     # chunked epilogue: bounds the live int32 temporaries of the psto bit
     # math to (rows, _EPI_CHUNK) each
-    for c0 in range(0, nout, _EPI_CHUNK):
-        c1 = min(c0 + _EPI_CHUNK, nout)
+    for c0 in range(0, bn, _EPI_CHUNK):
+        c1 = min(c0 + _EPI_CHUNK, bn)
         acc = acc_ref[:, c0:c1]
         if grad:
             out = numerics.psto_round(acc, shift).astype(jnp.int8)
@@ -135,15 +150,26 @@ def _requant_kernel(shift_ref, s_refs, b_ref, y_ref, acc_ref, *, kh, nout,
         y_ref[:, c0:c1] = out
 
 
-def _plan_rows(rows: int, kh: int, kp: int, np_: int,
-               budget: int = 9 * 2**20) -> int:
-    """Largest row tile whose VMEM working set fits the scoped-vmem stack
-    budget (defaults leave headroom under the 16M limit)."""
+def _plan_n(np_: int, kh: int, kp: int, budget: int = _BAND_BUDGET) -> int:
+    """Largest column block (multiple of 128, dividing np_) whose band
+    slice fits the band VMEM budget."""
+    q = np_ // 128
+    for d in range(q, 0, -1):
+        if q % d == 0 and kh * kp * 128 * d <= budget:
+            return 128 * d
+    return 128
+
+
+def _plan_rows(rows: int, kh: int, kp: int, bn: int,
+               budget: int = _STACK_BUDGET) -> int:
+    """Largest row tile whose VMEM working set (band block excluded — it is
+    budgeted separately in _plan_n) fits the scoped-vmem stack budget."""
+    budget = budget - kh * kp * bn  # resident band block
     per_row = (
         kh * kp              # slab blocks (int8)
-        + 2 * np_ * 4        # scratch acc + dot temp (int32)
+        + 2 * bn * 4         # scratch acc + dot temp (int32)
         + 8 * _EPI_CHUNK * 4  # epilogue temps (int32, chunked)
-        + np_                # out block (int8)
+        + bn                 # out block (int8)
     )
     r = min(max(budget // max(per_row, 1), 8), rows)
     while rows % r:
@@ -152,57 +178,76 @@ def _plan_rows(rows: int, kh: int, kp: int, np_: int,
 
 
 def supports(w_shape, padded_width: int, stride,
-             band_budget: int = 4 * 2**20) -> bool:
-    """Eligibility: stride-1 and band matrices that fit VMEM.
-    `padded_width` is the input width incl. the conv's padding."""
-    if tuple(stride) != (1, 1):
-        return False
+             band_budget: int = _BAND_BUDGET) -> bool:
+    """Eligibility: the narrowest column block of the band matrices must fit
+    the band VMEM budget. `padded_width` is the input width incl. the
+    conv's padding. Any forward stride is supported (strided input
+    *gradients* must be pre-dilated to stride-1 by the caller)."""
     kh, kw, ic, oc = w_shape
-    ow = padded_width - kw + 1
-    np_ = _round_up(ow * oc, 128)
-    return ow >= 1 and kh * padded_width * ic * np_ <= band_budget
+    sw = stride[1]
+    ow = (padded_width - kw) // sw + 1
+    if ow < 1:
+        return False
+    bn = min(_round_up(ow * oc, 128), 512)
+    return kh * padded_width * ic * bn <= band_budget
 
 
-def _prep(x, w, padding):
+def _prep(x, w, padding, stride):
     kh, kw, ic, oc = w.shape
+    sh, sw = stride
     xp = jnp.pad(x, ((0, 0), padding[0], padding[1], (0, 0)))
     b, hp, wp, _ = xp.shape
-    oh, ow = hp - kh + 1, wp - kw + 1
+    oh, ow = (hp - kh) // sh + 1, (wp - kw) // sw + 1
     kp = wp * ic
     np_ = _round_up(ow * oc, 128)
-    bands = _build_bands(w, wp, ow)
-    slabs = _build_slabs(xp, kh, oh)
+    bn = _plan_n(np_, kh, kp)
+    bands = _build_bands(w, wp, ow, sw)
+    slabs = _build_slabs(xp, kh, oh, sh)
     rows = b * oh
-    r = _plan_rows(rows, kh, kp, np_)
-    return slabs, bands, (b, oh, ow, oc, kh, kp, np_, rows, r)
+    r = _plan_rows(rows, kh, kp, bn)
+    return slabs, bands, (b, oh, ow, oc, kh, kp, np_, bn, rows, r)
 
 
-@functools.partial(jax.jit, static_argnames=("kernel", "padding", "interpret"))
+def _grid_specs(kh, kp, np_, bn, r):
+    """(in_specs, scratch) shared by both phases: column blocks outermost
+    so each band block stays VMEM-resident while slabs stream."""
+    in_specs = [
+        pl.BlockSpec((kh, r, kp), lambda j, i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((kh, kp, bn), lambda j, i: (0, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    scratch = [pltpu.VMEM((r, bn), jnp.int32)]
+    return in_specs, scratch
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel", "padding", "stride", "interpret")
+)
 def conv_max_pallas(
     x: jax.Array,
     w: jax.Array,
     kernel: Tuple[int, int],
     padding: Tuple[Tuple[int, int], Tuple[int, int]],
+    stride: Tuple[int, int] = (1, 1),
     interpret: bool = False,
 ) -> jax.Array:
-    """Phase 1: global max|acc| of the stride-1 int8 conv, int32 scalar.
+    """Phase 1: global max|acc| of the int8 conv, int32 scalar.
     No accumulator leaves VMEM."""
-    slabs, bands, (b, oh, ow, oc, kh, kp, np_, rows, r) = _prep(x, w, padding)
+    slabs, bands, (b, oh, ow, oc, kh, kp, np_, bn, rows, r) = _prep(
+        x, w, padding, stride
+    )
+    in_specs, scratch = _grid_specs(kh, kp, np_, bn, r)
     m = pl.pallas_call(
         functools.partial(_max_kernel, kh=kh),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        grid=(rows // r,),
-        in_specs=[
-            pl.BlockSpec((kh, r, kp), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kh, kp, np_), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
+        grid=(np_ // bn, rows // r),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1), lambda j, i: (0, 0),
                                memory_space=pltpu.SMEM),
-        scratch_shapes=[pltpu.VMEM((r, np_), jnp.int32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(slabs, bands)
@@ -210,7 +255,8 @@ def conv_max_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kernel", "padding", "grad", "interpret")
+    jax.jit,
+    static_argnames=("kernel", "padding", "stride", "grad", "interpret"),
 )
 def conv_requant_pallas(
     x: jax.Array,
@@ -218,27 +264,25 @@ def conv_requant_pallas(
     shift: jax.Array,
     kernel: Tuple[int, int],
     padding: Tuple[Tuple[int, int], Tuple[int, int]],
+    stride: Tuple[int, int] = (1, 1),
     grad: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Phase 2: recompute the conv and requantize in-kernel -> int8 NHWC."""
-    slabs, bands, (b, oh, ow, oc, kh, kp, np_, rows, r) = _prep(x, w, padding)
+    slabs, bands, (b, oh, ow, oc, kh, kp, np_, bn, rows, r) = _prep(
+        x, w, padding, stride
+    )
+    in_specs, scratch = _grid_specs(kh, kp, np_, bn, r)
     y = pl.pallas_call(
-        functools.partial(_requant_kernel, kh=kh, nout=ow * oc, grad=grad),
+        functools.partial(_requant_kernel, kh=kh, bn=bn, grad=grad),
         out_shape=jax.ShapeDtypeStruct((rows, ow * oc), jnp.int8),
-        grid=(rows // r,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # shift (1,) int32
-            pl.BlockSpec((kh, r, kp), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kh, kp, np_), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((r, ow * oc), lambda i: (i, 0),
+        grid=(np_ // bn, rows // r),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs,
+        out_specs=pl.BlockSpec((r, bn), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((r, np_), jnp.int32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(shift.reshape(1).astype(jnp.int32), slabs, bands)

@@ -1,0 +1,181 @@
+"""Fused NITI int8 matmul: two-phase Pallas kernels with in-kernel
+range-estimate / pseudo-stochastic requant — the int32 accumulator never
+touches HBM.
+
+This is the 1x1-conv / fully-connected counterpart of the banded fused conv
+(ops/kernels/fused_conv_int8.py). A 1x1 stride-1 conv *is* a matmul
+((B*H*W, ic) @ (ic, oc)) and dominates the MobileNet/ResNet dense hot path;
+folding the NITI requant into it has no structural-zero waste, unlike the
+banded form. The reference computes the same fusion on-DSP: the modified
+supernode emits the requant shift from inside the conv for every conv
+(`niti_op_supernode_new.c:6086-6094`), and its registered im2col+matmul
+gradient strategy lowers to `QuantizedMatMul_8x8to32` + requantize
+(`NITI_DSPMatmulGradientConv_Int8.cpp`).
+
+- phase 1 (`max`): tiled (M, N, K) int8 GEMM accumulating in VMEM scratch;
+  per-tile max|acc| folded into a global SMEM scalar on the last K step.
+- scalar glue (host graph): bw/shift per ops/numerics.py, optionally
+  cross-replica pmax'd for data parallelism.
+- phase 2 (`requant`): recompute tiles, apply the bit-exact psto epilogue
+  in lane chunks, write int8 only.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import numerics
+
+_EPI_CHUNK = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _acc_step(a_ref, b_ref, acc_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        a_ref[:], b_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _max_kernel(a_ref, b_ref, m_ref, acc_ref):
+    _acc_step(a_ref, b_ref, acc_ref)
+    last_k = pl.program_id(2) == pl.num_programs(2) - 1
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(last_k & first)
+    def _():
+        m_ref[0, 0] = jnp.max(jnp.abs(acc_ref[:]))
+
+    @pl.when(last_k & jnp.logical_not(first))
+    def _():
+        m_ref[0, 0] = jnp.maximum(m_ref[0, 0], jnp.max(jnp.abs(acc_ref[:])))
+
+
+def _requant_kernel(shift_ref, a_ref, b_ref, y_ref, acc_ref, *, bn, grad):
+    _acc_step(a_ref, b_ref, acc_ref)
+    last_k = pl.program_id(2) == pl.num_programs(2) - 1
+
+    @pl.when(last_k)
+    def _():
+        shift = shift_ref[0]
+        for c0 in range(0, bn, _EPI_CHUNK):
+            c1 = min(c0 + _EPI_CHUNK, bn)
+            acc = acc_ref[:, c0:c1]
+            if grad:
+                out = numerics.psto_round(acc, shift).astype(jnp.int8)
+            else:
+                shifted = numerics.psto_round(acc, shift)
+                plain = acc.astype(jnp.int8).astype(jnp.int32)
+                out = jnp.where(shift > 0, shifted, plain).astype(jnp.int8)
+            y_ref[:, c0:c1] = out
+
+
+def _tiles(m: int, k: int, n: int) -> Tuple[int, int, int]:
+    tm = min(512, _round_up(m, 128))
+    tn = min(512, _round_up(n, 128))
+    tk = min(2048, _round_up(k, 128))
+    return tm, tn, tk
+
+
+def supports(m: int, k: int, n: int) -> bool:
+    """Tile padding must not blow up the dominant operand's HBM traffic:
+    decline very skinny K/N (same economics as matmul_int8.matmul_acc_pallas
+    — XLA's own int8 dot handles those without materialized padding)."""
+    return k >= 64 and n >= 64 and m >= 128
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def matmul_max_pallas(
+    a: jax.Array, b: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Phase 1: global max|a @ b| as an int32 scalar; acc stays in VMEM."""
+    m, k = a.shape
+    k2, n = b.shape
+    assert k == k2
+    tm, tn, tk = _tiles(m, k, n)
+    mp, np_, kp = _round_up(m, tm), _round_up(n, tn), _round_up(k, tk)
+    a_p = jnp.pad(a, ((0, mp - m), (0, kp - k)))
+    b_p = jnp.pad(b, ((0, kp - k), (0, np_ - n)))
+    out = pl.pallas_call(
+        _max_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        grid=(mp // tm, np_ // tn, kp // tk),
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda i, j, kk: (0, 0),
+                               memory_space=pltpu.SMEM),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_ + 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a_p, b_p)
+    return out[0, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("grad", "interpret"))
+def matmul_requant_pallas(
+    a: jax.Array,
+    b: jax.Array,
+    shift: jax.Array,
+    grad: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Phase 2: recompute a @ b and requantize in-kernel -> int8 (M, N)."""
+    m, k = a.shape
+    k2, n = b.shape
+    assert k == k2
+    tm, tn, tk = _tiles(m, k, n)
+    mp, np_, kp = _round_up(m, tm), _round_up(n, tn), _round_up(k, tk)
+    a_p = jnp.pad(a, ((0, mp - m), (0, kp - k)))
+    b_p = jnp.pad(b, ((0, kp - k), (0, np_ - n)))
+    y = pl.pallas_call(
+        functools.partial(_requant_kernel, bn=tn, grad=grad),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.int8),
+        grid=(mp // tm, np_ // tn, kp // tk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_ + mp * np_,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(shift.reshape(1).astype(jnp.int32), a_p, b_p)
+    return y[:m, :n]

@@ -20,16 +20,18 @@ Note: 47274/2^15 = 1.4427 = log2(e)... the constant converts natural-log-ish
 scaling; we reproduce the exact integer arithmetic, including C truncating
 division, so results are bit-identical to the CPU and DSP reference kernels.
 
-Arithmetic width: the reference computes in int64; everything here is int32
-(TPU-native — s64 is emulated on TPU). To stay exact in int32, ascale is
-clamped to [-9, 15] before the computation: for every ascale >= -9 the
-result is bit-identical to the reference's int64 arithmetic (max
-intermediate soft*2^11 <= ~2^30.4 at a=-9); for ascale < -9 the reference's
-integer softmax is within +/-1 count of uniform (base = 2^(1-2a) dominates
-x*2^(1-a) + x^2 by >= 2^8) and the clamped result differs by at most the
-same +/-1 before the final psto-shift by 4 — i.e. the int8 gradient is
-almost always identical and the learning signal (the -sum(p) subtraction at
-the target) is preserved exactly.
+Arithmetic width: the reference computes in int64. The linear branch
+(ascale > -7) fits int32 exactly (max intermediate soft*2^11 <= 2^22;
+validated bit-for-bit against an int64 golden model in
+tests/test_loss_grad_int64_golden.py). The quadratic fallback
+(ascale <= -7) genuinely needs 64-bit (base = 2^(1-2a) alone exceeds int32
+from ascale <= -15, and the normalized counts deviate by several units if
+computed with a clamped scale), so that branch runs in real int64 under
+`jax.experimental.enable_x64` — the tensor is (B, C) tiny, so the emulated
+s64 cost on TPU is negligible. ascale is clamped to [-25, -7] inside the
+branch: at -25, soft*2^11 reaches ~2^63 — beyond that the reference's own
+int64 arithmetic overflows (UB), so the clamp only diverges where the
+reference is undefined.
 """
 
 from __future__ import annotations
@@ -60,14 +62,14 @@ def loss_grad_int8(
 ) -> jax.Array:
     """Integer-only softmax-CE gradient -> int8 (B, C).
 
-    Bit-exact port of NITI_CPULossGrad_Int8.cpp:84-200 (int32 arithmetic; the
-    reference uses int64 but every intermediate fits int32 for realistic
-    ascale — see module docstring).
+    Bit-exact port of NITI_CPULossGrad_Int8.cpp:84-200 (the linear branch in
+    int32, the quadratic fallback in real int64 — see module docstring).
     """
     x = logits.astype(jnp.int32)
-    a = jnp.clip(ascale.astype(jnp.int32), -9, 15)
+    a = jnp.clip(ascale.astype(jnp.int32), -25, 15)
 
-    def branch_linear(x, a):
+    def p_linear(x, a):
+        a = jnp.maximum(a, -6)  # branch valid for a > -7 only
         # s = trunc(x * 47274 / 2^15) * 2^a   (trunc division, both signs)
         t = jax.lax.div(x * 47274, jnp.int32(1 << 15))  # constant divisor: ok
         pos = t * jnp.left_shift(jnp.int32(1), jnp.maximum(a, 0))
@@ -75,17 +77,26 @@ def loss_grad_int8(
         s = jnp.where(a >= 0, pos, neg)
         m = jnp.max(s, axis=-1, keepdims=True) - 10
         e = jnp.maximum(s - m, 0)
-        return jnp.left_shift(jnp.int32(1), e) - 1
+        soft = jnp.left_shift(jnp.int32(1), e) - 1
+        ssum = jnp.sum(soft, axis=-1, keepdims=True)
+        return jax.lax.div(soft * jnp.int32(1 << 11), ssum)
 
-    def branch_quadratic(x, a):
-        base = jnp.left_shift(jnp.int32(1), 1 - 2 * a)
-        shiftbase = jnp.left_shift(jnp.int32(1), 1 - a)
-        return base + x * shiftbase + x * x
+    def p_quadratic(x, a):
+        # base = 2^(1-2a) exceeds int32 from a <= -15 and the normalized
+        # counts are scale-sensitive, so this branch is real int64 (the
+        # reference's width). enable_x64 only affects trace-time dtypes;
+        # the (B, C) tensor keeps the emulated-s64 cost negligible.
+        with jax.enable_x64(True):
+            x64 = x.astype(jnp.int64)
+            a64 = jnp.clip(a, -25, -7).astype(jnp.int64)
+            base = jnp.left_shift(jnp.int64(1), 1 - 2 * a64)
+            shiftbase = jnp.left_shift(jnp.int64(1), 1 - a64)
+            soft = base + x64 * shiftbase + x64 * x64
+            ssum = jnp.sum(soft, axis=-1, keepdims=True)
+            p = jax.lax.div(soft * jnp.int64(1 << 11), ssum)
+        return p.astype(jnp.int32)  # p <= 2^11
 
-    soft = jnp.where(a > -7, branch_linear(x, a), branch_quadratic(x, a))
-
-    ssum = jnp.sum(soft, axis=-1, keepdims=True)
-    p = jax.lax.div(soft * jnp.int32(1 << 11), ssum)
+    p = jnp.where(a > -7, p_linear(x, a), p_quadratic(x, a))
     psum = jnp.sum(p, axis=-1, keepdims=True)
     g = p - psum * target_onehot.astype(jnp.int32)
     return numerics.psto_shift_int8(g, jnp.int32(4))

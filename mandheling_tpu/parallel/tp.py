@@ -96,12 +96,14 @@ class TPConv2D(NITIConv2D):
 
 
 def _in_mesh(axis: str) -> bool:
-    """True when tracing inside a shard_map that binds `axis`."""
+    """True when tracing inside a shard_map that binds `axis`.
+
+    Only NameError (the axis is simply not bound in this trace) means "not
+    in a TP mesh"; any other failure is a real bug and must propagate —
+    swallowing it would silently degrade TP to dense replication."""
     try:
         return jax.lax.axis_size(axis) > 1
     except NameError:
-        return False
-    except Exception:
         return False
 
 

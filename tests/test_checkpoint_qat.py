@@ -60,6 +60,7 @@ def test_quantize_params_tree():
     np.testing.assert_allclose(np.asarray(deq), np.linspace(-1, 1, 8), atol=0.02)
 
 
+@pytest.mark.slow
 def test_qat_lenet_trains():
     from mandheling_tpu.data import onehot_padded, synthetic_mnist
     from mandheling_tpu.train.optim import sgd_init, sgd_update

@@ -111,20 +111,24 @@ def _smoke_train(model_fn, logits_width, steps=3, batch=16):
     return losses
 
 
+@pytest.mark.slow
 def test_mobilenet_v2_niti_smoke():
     _smoke_train(lambda: mobilenet_v2_niti(width_mult=0.25), 12)
 
 
+@pytest.mark.slow
 def test_resnet18_niti_smoke():
     _smoke_train(resnet18_niti, 12, steps=2, batch=8)
 
 
+@pytest.mark.slow
 def test_mobilenet_v1_niti_smoke():
     from mandheling_tpu.models.mobilenet import mobilenet_v1_niti
 
     _smoke_train(lambda: mobilenet_v1_niti(width_mult=0.25), 12, steps=2, batch=8)
 
 
+@pytest.mark.slow
 def test_mobilenet_fp32_train_smoke():
     import jax
     import jax.numpy as jnp

@@ -79,6 +79,105 @@ def test_pallas_conv_matches_xla(stride, lhs_dil, rhs_dil):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
 
 
+@pytest.mark.parametrize(
+    "x_shape,w_shape,stride,padding",
+    [
+        ((2, 9, 9, 3), (3, 3, 3, 8), (2, 2), "SAME"),     # strided banded
+        ((2, 9, 9, 3), (5, 5, 3, 8), (2, 2), "SAME"),     # 5x5 stride-2
+        ((2, 33, 33, 8), (3, 3, 8, 16), (2, 2), "SAME"),  # downsample shape
+        ((4, 16, 16, 64), (1, 1, 64, 128), (1, 1), "VALID"),  # 1x1 matmul
+        ((4, 16, 16, 64), (1, 1, 64, 128), (2, 2), "VALID"),  # 1x1 stride-2
+    ],
+)
+def test_fused_conv_strided_and_1x1_parity(x_shape, w_shape, stride, padding):
+    """Strided/1x1 fused two-phase kernels must be bit-identical to the
+    unfused XLA path, forward and input-grad — the supernode computes the
+    shift on-accelerator for *every* conv shape
+    (niti_op_supernode_new.c:4630-6094), so must we."""
+    rng = np.random.default_rng(sum(x_shape) + sum(w_shape))
+    x = jnp.asarray(rand_int8(rng, x_shape))
+    w = jnp.asarray(rand_int8(rng, w_shape))
+    y0, e0 = conv_ops.conv2d_forward(x, jnp.int32(-5), w, jnp.int32(-6),
+                                     stride, padding)
+    with use_backend("pallas_interpret"):
+        y1, e1 = conv_ops.conv2d_forward(x, jnp.int32(-5), w, jnp.int32(-6),
+                                         stride, padding)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    assert int(e0) == int(e1)
+
+    gy = jnp.asarray(rand_int8(rng, np.asarray(y0).shape))
+    g0 = conv_ops.conv2d_input_grad(gy, w, x_shape[1:3], stride, padding)
+    with use_backend("pallas_interpret"):
+        g1 = conv_ops.conv2d_input_grad(gy, w, x_shape[1:3], stride, padding)
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+
+
+def test_fused_matmul_two_phase_parity():
+    """Fused matmul max/requant phases vs the unfused dot + numerics path."""
+    from mandheling_tpu.ops import numerics
+    from mandheling_tpu.ops.kernels.fused_matmul_int8 import (
+        matmul_max_pallas,
+        matmul_requant_pallas,
+    )
+
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rand_int8(rng, (300, 100)))
+    b = jnp.asarray(rand_int8(rng, (100, 70)))
+    acc = jnp.dot(a.astype(jnp.int32), b.astype(jnp.int32))
+    m = matmul_max_pallas(a, b, interpret=True)
+    assert int(m) == int(jnp.max(jnp.abs(acc)))
+    shift = numerics.forward_shift(numerics.range_estimate_from_max(m))
+    expected, _ = numerics.requant_forward_from_bw(
+        acc, jnp.int32(0), numerics.range_estimate_from_max(m)
+    )
+    got = matmul_requant_pallas(a, b, shift, grad=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+    # grad epilogue (pure psto, no wrap-cast branch)
+    gshift = jnp.int32(3)
+    np.testing.assert_array_equal(
+        np.asarray(matmul_requant_pallas(a, b, gshift, grad=True,
+                                         interpret=True)),
+        np.asarray(numerics.psto_shift_int8(acc, gshift)),
+    )
+
+
+@pytest.mark.slow
+def test_train_step_cross_backend_bit_parity():
+    """N full train steps under xla vs pallas_interpret must produce
+    identical params, losses, and exponents — the whole-graph SIMU check
+    (reference: nn/NN.cpp:1250-1255, NITI_ConvMinMax_Int8.cpp:162-268
+    validate the offloaded graph's numerics on CPU)."""
+    import jax
+
+    from mandheling_tpu.data import onehot_padded
+    from mandheling_tpu.models import NITI_LOGIT_CHANNELS, lenet_niti
+    from mandheling_tpu.train import make_train_step
+
+    model = lenet_niti()
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (16, 28, 28, 1)), jnp.float32)
+    oh = jnp.asarray(onehot_padded(rng.integers(0, 10, 16), 10,
+                                   NITI_LOGIT_CHANNELS))
+
+    def run(backend):
+        params = model.init(jax.random.PRNGKey(0))
+        losses = []
+        with use_backend(backend):
+            step = jax.jit(make_train_step(model))
+            for _ in range(5):
+                params, loss = step(params, x, oh)
+                losses.append(float(loss))
+        return params, losses
+
+    p_xla, l_xla = run("xla")
+    p_int, l_int = run("pallas_interpret")
+    assert l_xla == l_int
+    flat_x, _ = jax.tree.flatten(p_xla)
+    flat_i, _ = jax.tree.flatten(p_int)
+    for a, b in zip(flat_x, flat_i):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_backend_switch_end_to_end():
     """Forward conv through the dispatch layer must be bit-identical across
     backends (requant included)."""

@@ -8,6 +8,7 @@ dataset (no network egress on this box)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mandheling_tpu.data import DataLoader, onehot_padded, synthetic_mnist
 from mandheling_tpu.models import (
@@ -19,6 +20,7 @@ from mandheling_tpu.train import jit_eval_step, jit_train_step
 from mandheling_tpu.train.optim import lr_inv, sgd_init, sgd_update
 
 
+@pytest.mark.slow
 def test_niti_int8_training_learns():
     model = lenet_niti()
     params = model.init(jax.random.PRNGKey(0))
@@ -42,6 +44,7 @@ def test_niti_int8_training_learns():
     assert acc > 0.7, acc
 
 
+@pytest.mark.slow
 def test_fp32_training_learns():
     model = LeNetFP32()
     params = model.init(jax.random.PRNGKey(0))

@@ -440,12 +440,11 @@ def conv2d_filter_grad(
     """int8 filter gradient with the aggressive bw-2 shift
     (NITI_GradientConv_Int8.cpp:274-296). All-zero accumulators stay zero.
 
-    With `axis_name`, the int32 accumulator is allreduced (psum) across the
-    data axis before the single global range-estimate + shift — the exact-sum
-    strategy from SURVEY.md section 7 (int32 pre-shift allreduce).
+    With `axis_name`, the int32 accumulator is combined across the data
+    axis per the selected allreduce strategy (ops/allreduce.py): exact
+    int32 pre-shift psum, or exponent-aligned int8 (4x less wire traffic).
     """
+    from . import allreduce
+
     acc = conv2d_filter_grad_acc(x, gy, kernel_spatial, stride, padding)
-    if axis_name is not None:
-        acc = jax.lax.psum(acc, axis_name)
-    bw = numerics.range_estimate(acc)
-    return numerics.requant_grad_from_bw(acc, bw, margin=2)
+    return allreduce.grad_allreduce_requant(acc, axis_name, margin=2)

@@ -122,10 +122,9 @@ def dwconv2d_filter_grad(
             ).astype(jnp.int32)
             cols.append(jnp.sum(patch * gy32, axis=(0, 1, 2)))  # (C,)
     acc = jnp.stack(cols).reshape(kh, kw, 1, c)
-    if axis_name is not None:
-        acc = jax.lax.psum(acc, axis_name)
-    bw = numerics.range_estimate(acc)
-    return numerics.requant_grad_from_bw(acc, bw, margin=2)
+    from . import allreduce
+
+    return allreduce.grad_allreduce_requant(acc, axis_name, margin=2)
 
 
 def avgpool2d_int8(

@@ -28,11 +28,10 @@ def matmul_int8_acc(a: jax.Array, b: jax.Array) -> jax.Array:
 
 def matmul_int8_grad(a: jax.Array, b: jax.Array, axis_name: Optional[str] = None) -> jax.Array:
     """int8 GEMM + bw-3 psto requant (NITI_Matmul_Int8.cpp:219-231)."""
+    from . import allreduce
+
     acc = matmul_int8_acc(a, b)
-    if axis_name is not None:
-        acc = jax.lax.psum(acc, axis_name)
-    bw = numerics.range_estimate(acc)
-    return numerics.requant_grad_from_bw(acc, bw, margin=3)
+    return allreduce.grad_allreduce_requant(acc, axis_name, margin=3)
 
 
 def matmul_int8_forward(

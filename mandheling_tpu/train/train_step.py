@@ -28,12 +28,27 @@ from ..ops.qtensor import QTensor
 from .optim import niti_sgd_update
 
 
+def det_psum_f32(v: jax.Array, axis_name: str) -> jax.Array:
+    """Order-deterministic float sum across an axis: all_gather the
+    per-replica partials and sum the gathered vector in axis order.
+
+    A plain float `psum`'s reduction order is backend-dependent (Gloo's
+    multi-host allreduce associates differently than single-process XLA),
+    which breaks the bit-identity contract through the batch-statistics ->
+    input-quantization path. Gathering first costs nothing at scalar size
+    and makes every replica — single- or multi-process — sum the same
+    partials in the same order. Integer psums don't need this (associative
+    exactly)."""
+    return jnp.sum(jax.lax.all_gather(v, axis_name))
+
+
 def quantize_batch(
     x: jax.Array, axis_name: Optional[str] = None
 ) -> Tuple[jax.Array, jax.Array]:
     """Standardize + quantize a float batch exactly like the reference
     training loop (MnistUtils.cpp:84-96). With `axis_name`, statistics are
-    over the global batch (psum/pmax) so sharded == single-chip."""
+    over the global batch (deterministic-order sums / pmax) so sharded ==
+    single-chip, bit for bit, regardless of process count."""
     x = x.astype(jnp.float32)
     n = jnp.float32(x.size)
     # one fused pass for both moments (E[x^2] - E[x]^2); a dependent
@@ -42,8 +57,8 @@ def quantize_batch(
     s2 = jnp.sum(x * x)
     if axis_name is not None:
         n = jax.lax.psum(n, axis_name)
-        s = jax.lax.psum(s, axis_name)
-        s2 = jax.lax.psum(s2, axis_name)
+        s = det_psum_f32(s, axis_name)
+        s2 = det_psum_f32(s2, axis_name)
     mean = s / n
     std = jnp.sqrt(jnp.maximum(s2 / n - mean * mean, 0.0))
     # algebraically y/rng == (x-mean)/max|x-mean| and rng == r/std: keeping
@@ -69,7 +84,9 @@ def make_train_step(model: Sequential, axis_name: Optional[str] = None):
         logits, residuals = model.fwd(params, q, axis_name)
         loss = loss_cross_entropy_float(logits.data, logits.exp, onehot)
         if axis_name is not None:
-            loss = jax.lax.pmean(loss, axis_name)
+            loss = det_psum_f32(loss, axis_name) / jax.lax.psum(
+                jnp.float32(1), axis_name
+            )
         g = loss_grad_int8(logits.data, logits.exp, onehot)
         _, grads = model.bwd(params, residuals, g, axis_name,
                              need_input_grad=False)

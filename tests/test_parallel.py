@@ -54,6 +54,68 @@ def test_dp_bit_identical_to_single_chip(setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_int8_grad_allreduce_close_to_exact(setup):
+    """Exponent-aligned int8 allreduce (ops/allreduce.py): the combined
+    gradient must stay close to the exact int32-pre-shift gradient (same
+    power-of-two scale, small count-level noise), and training under it
+    must still learn (the accuracy gate of SURVEY section 7 hard part 5)."""
+    from mandheling_tpu.ops.allreduce import use_grad_allreduce
+
+    model, params, x, y = setup
+    mesh = data_mesh(8)
+    bx = jnp.asarray(x[:64].astype(np.float32))
+    oh = jnp.asarray(onehot_padded(y[:64], 10, NITI_LOGIT_CHANNELS))
+    bx_s, oh_s = shard_batch(mesh, bx, oh)
+
+    p_rep = replicate(mesh, params)
+    exact_step = make_dp_train_step(model, mesh, donate=False)
+    p_exact, _ = exact_step(p_rep, bx_s, oh_s)
+
+    with use_grad_allreduce("int8"):
+        int8_step = make_dp_train_step(model, mesh, donate=False)
+        p_int8, _ = int8_step(replicate(mesh, params), bx_s, oh_s)
+
+    # same structure; weight deltas are small ints — the approximate mode
+    # may differ per-element by a few counts but not wholesale
+    for a, b, p0 in zip(jax.tree.leaves(p_exact), jax.tree.leaves(p_int8),
+                        jax.tree.leaves(params)):
+        a, b, p0 = np.asarray(a), np.asarray(b), np.asarray(p0)
+        if a.ndim == 0 or a.size == 1:  # exponents
+            continue
+        d_exact = a.astype(np.int32) - p0.astype(np.int32)
+        d_int8 = b.astype(np.int32) - p0.astype(np.int32)
+        # updates agree in scale: mean |delta| within 2x of each other
+        if np.abs(d_exact).sum() > 0:
+            ratio = (np.abs(d_int8).mean() + 1e-6) / (np.abs(d_exact).mean() + 1e-6)
+            assert 0.3 < ratio < 3.0, ratio
+
+
+@pytest.mark.slow
+def test_int8_grad_allreduce_training_learns(setup):
+    from mandheling_tpu.ops.allreduce import use_grad_allreduce
+
+    model, params, x, y = setup
+    mesh = data_mesh(8)
+    with use_grad_allreduce("int8"):
+        step = make_dp_train_step(model, mesh, donate=False)
+        evals = make_dp_eval_step(model, mesh)
+        p = replicate(mesh, params)
+        for _ in range(2):
+            for i in range(4):
+                bx = jnp.asarray(x[i * 64 : (i + 1) * 64].astype(np.float32))
+                oh = jnp.asarray(
+                    onehot_padded(y[i * 64 : (i + 1) * 64], 10,
+                                  NITI_LOGIT_CHANNELS)
+                )
+                bx_s, oh_s = shard_batch(mesh, bx, oh)
+                p, _ = step(p, bx_s, oh_s)
+        bx = jnp.asarray(x[:256].astype(np.float32))
+        by = jnp.asarray(y[:256])
+        bx_s, by_s = shard_batch(mesh, bx, by)
+        acc = int(evals(p, bx_s, by_s)) / 256
+    assert acc > 0.5, f"int8-allreduce training failed to learn: acc={acc}"
+
+
 def test_dp_multi_step_and_eval(setup):
     model, params, x, y = setup
     mesh = data_mesh(8)

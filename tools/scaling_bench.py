@@ -86,12 +86,21 @@ def main():
         sps = measure_dp(n)
         if n == 1:
             base = sps
-        rows.append({
+        row = {
             "devices": n,
             "processes": 1,
             "samples_per_sec": round(sps, 1),
-            "scaling_efficiency": round(sps / (base * n), 3) if base else None,
-        })
+        }
+        if base:
+            if jax.devices()[0].platform == "cpu":
+                # virtual devices share the host's cores: ideal here is FLAT
+                # samples/s while doing N x the global batch — report the
+                # throughput retained vs 1 device (sharding overhead), not
+                # the x N chip-scaling formula, which needs real chips
+                row["throughput_retained_vs_1dev"] = round(sps / base, 3)
+            else:
+                row["scaling_efficiency"] = round(sps / (base * n), 3)
+        rows.append(row)
         print(json.dumps(rows[-1]), flush=True)
 
     payload = {
@@ -99,8 +108,13 @@ def main():
         "device_kind": jax.devices()[0].device_kind,
         "per_device_batch": PER_DEVICE_BATCH,
         "note": "single real TPU chip in this sandbox: sweep runs on the "
-                "virtual CPU mesh to validate the DP harness; multihost "
-                "bit-identity is asserted in tests/test_multihost.py",
+                "virtual CPU mesh, where all devices share the host cores — "
+                "ideal is FLAT samples/s at N x global batch, so the "
+                "recorded metric is throughput retained vs 1 device "
+                "(collective/sharding overhead). Real chip-scaling "
+                "efficiency needs real multi-chip hardware with these same "
+                "entry points; multihost bit-identity is asserted in "
+                "tests/test_multihost.py",
         "rows": rows,
     }
     with open(args.out, "w") as f:

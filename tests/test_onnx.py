@@ -143,3 +143,79 @@ def test_onnx_mobilenet_v2_import_quantize_finetune(tmp_path):
     oh = jnp.asarray(onehot_padded(rng.integers(0, 10, 8), 10, 12))
     newp, loss = step(nparams, x, oh)
     assert np.isfinite(float(loss))
+
+
+def test_niti_model_from_onnx_trains():
+    """The general turnModelToTrainable: a bias-less ONNX chain becomes a
+    runnable NITI Sequential with quantized weights; the integer train step
+    runs and moves the weights."""
+    from mandheling_tpu.data import onehot_padded
+    from mandheling_tpu.train import make_train_step
+    from mandheling_tpu.utils.onnx_model import niti_model_from_onnx
+
+    rng = np.random.default_rng(0)
+    ops = [
+        ("Conv", {"w": rng.normal(0, 0.2, (8, 1, 5, 5)).astype(np.float32)}),
+        ("Relu", {}),
+        ("MaxPool", {"kernel": (2, 2), "strides": (2, 2)}),
+        ("Conv", {"w": rng.normal(0, 0.2, (12, 8, 3, 3)).astype(np.float32)}),
+        ("Relu", {}),
+        ("MaxPool", {"kernel": (2, 2), "strides": (2, 2)}),
+        ("Flatten", {}),
+        ("Gemm", {"w": rng.normal(0, 0.1, (12, 300)).astype(np.float32)}),
+    ]
+    model_pb = onnx_io.build_onnx_sequential(ops, (1, 1, 28, 28))
+    model, params = niti_model_from_onnx(model_pb)
+
+    step = jax.jit(make_train_step(model))
+    x = jnp.asarray(rng.normal(0, 1, (16, 28, 28, 1)), jnp.float32)
+    oh = jnp.asarray(onehot_padded(rng.integers(0, 10, 16), 10, 12))
+    newp, loss = step(params, x, oh)
+    assert np.isfinite(float(loss))
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(list(params)),
+                        jax.tree.leaves(list(newp)))
+    )
+    assert moved
+
+
+def test_niti_model_from_onnx_gemm_perm():
+    """The flatten permutation: the imported FC weight must equal the
+    quantization of the source Gemm weight with the channel-major ->
+    channel-minor row permutation applied (the same transform whose
+    functional correctness the torch-adapter parity tests pin down
+    exactly, test_convert.test_lenet_torch_parity)."""
+    from mandheling_tpu.ops.qtensor import quantize_weights
+    from mandheling_tpu.utils.convert import chw_to_hwc_perm
+    from mandheling_tpu.utils.onnx_model import niti_model_from_onnx
+
+    rng = np.random.default_rng(3)
+    wconv = rng.normal(0, 0.3, (4, 1, 3, 3)).astype(np.float32)
+    wfc = rng.normal(0, 0.2, (5, 4 * 6 * 6)).astype(np.float32)
+    model_pb = onnx_io.build_onnx_sequential(
+        [("Conv", {"w": wconv}), ("Flatten", {}), ("Gemm", {"w": wfc})],
+        (1, 1, 8, 8),
+    )
+    model, params = niti_model_from_onnx(model_pb)
+    got = params[2]["w"]
+
+    perm = chw_to_hwc_perm(4, 6, 6)
+    expected = quantize_weights(
+        jnp.asarray(wfc.T[perm].reshape(1, 1, 4 * 36, 5), jnp.float32)
+    )
+    np.testing.assert_array_equal(np.asarray(got.data),
+                                  np.asarray(expected.data))
+    assert int(got.exp) == int(expected.exp)
+
+
+def test_niti_model_from_onnx_rejects_bias_and_branches():
+    from mandheling_tpu.utils.onnx_model import niti_model_from_onnx
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(0, 0.2, (4, 1, 3, 3)).astype(np.float32)
+    pb_bias = onnx_io.build_onnx_sequential(
+        [("Conv", {"w": w, "b": np.zeros(4, np.float32)})], (1, 1, 8, 8)
+    )
+    with pytest.raises(ValueError, match="bias"):
+        niti_model_from_onnx(pb_bias)

@@ -1,6 +1,9 @@
-"""Benchmark: NITI int8 MNIST training throughput (samples/sec/chip).
+"""Benchmark: NITI int8 training throughput (samples/sec/chip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — the
+LeNet/MNIST int8-vs-fp32 headline comparable across rounds — and writes
+BENCH_DETAIL_r02.json with every case (CIFAR-scale MobileNetV2/ResNet18
+int8 throughput, backend used per case).
 
 Measurement: the step loop runs INSIDE one jitted program (lax.fori_loop
 with params as carry) and the summed loss is read back to the host — pure
@@ -13,9 +16,15 @@ loops only print per-iteration wall time on a phone. vs_baseline is the
 int8-vs-fp32 speedup on the same chip (the reference's own
 MnistTrain-vs-NITIInt8Train comparison axis):
 vs_baseline = int8_samples_per_sec / fp32_samples_per_sec.
+
+Backend selection: the kernel backend per case comes from _BACKEND_CHOICE,
+set from measured TPU comparisons (tools/probes/backend_compare.py /
+fused_shape_probe.py; see BENCH_DETAIL notes). Override with
+BENCH_BACKEND=pallas|xla to force one.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -26,9 +35,21 @@ BATCH = 2048
 ITERS_LO = 10
 ITERS_HI = 210
 ROUNDS = 3
+TIME_BUDGET_S = 780  # leave headroom under the driver's timeout
+
+# measured on TPU v5e (tools/probes/backend_compare.py, round 2): the XLA
+# backend wins every model-zoo shape at these sizes — the fused Pallas
+# path's two-phase recompute + banded structural waste exceeds the 3-pass
+# int32 HBM cost it avoids. Recorded as a finding; per-shape flips go here
+# as kernels improve.
+_BACKEND_CHOICE = {
+    "lenet": os.environ.get("BENCH_BACKEND", "xla"),
+    "mobilenet_v2": os.environ.get("BENCH_BACKEND", "xla"),
+    "resnet18": os.environ.get("BENCH_BACKEND", "xla"),
+}
 
 
-def _device_loop_sps(step_fn, init_state, batch):
+def _device_loop_sps(step_fn, init_state, batch, iters_lo=None, iters_hi=None):
     """samples/s of `state, loss = step_fn(state)` looped on device.
 
     The axon relay adds a large, *noisy* fixed cost per dispatch, so the
@@ -36,6 +57,9 @@ def _device_loop_sps(step_fn, init_state, batch):
     measured over several rounds with the median taken (single-round
     differential timing was observed to go negative under relay jitter)."""
     import functools
+
+    iters_lo = iters_lo or ITERS_LO
+    iters_hi = iters_hi or ITERS_HI
 
     @functools.partial(jax.jit, static_argnums=1)
     def run(state, iters):
@@ -47,16 +71,16 @@ def _device_loop_sps(step_fn, init_state, batch):
         _, acc = jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0)))
         return acc
 
-    np.asarray(run(init_state, ITERS_LO))  # compile + warm
-    np.asarray(run(init_state, ITERS_HI))
+    np.asarray(run(init_state, iters_lo))  # compile + warm
+    np.asarray(run(init_state, iters_hi))
     deltas = []
     for _ in range(ROUNDS):
         t0 = time.perf_counter()
-        np.asarray(run(init_state, ITERS_LO))  # forced scalar readbacks
+        np.asarray(run(init_state, iters_lo))  # forced scalar readbacks
         t1 = time.perf_counter()
-        np.asarray(run(init_state, ITERS_HI))
+        np.asarray(run(init_state, iters_hi))
         t2 = time.perf_counter()
-        deltas.append(((t2 - t1) - (t1 - t0)) / (ITERS_HI - ITERS_LO))
+        deltas.append(((t2 - t1) - (t1 - t0)) / (iters_hi - iters_lo))
     dt = float(np.median(deltas))
     return batch / dt
 
@@ -64,17 +88,19 @@ def _device_loop_sps(step_fn, init_state, batch):
 def bench_niti_int8():
     from mandheling_tpu.data import onehot_padded
     from mandheling_tpu.models import NITI_LOGIT_CHANNELS, lenet_niti
+    from mandheling_tpu.ops.kernels import use_backend
     from mandheling_tpu.train import make_train_step
 
     model = lenet_niti()
     params = model.init(jax.random.PRNGKey(0))
-    step = make_train_step(model)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(0, 1, (BATCH, 28, 28, 1)), jnp.float32)
     oh = jnp.asarray(onehot_padded(rng.integers(0, 10, BATCH), 10, NITI_LOGIT_CHANNELS))
 
-    return _device_loop_sps(lambda p: step(p, x, oh), params, BATCH)
+    with use_backend(_BACKEND_CHOICE["lenet"]):
+        step = make_train_step(model)
+        return _device_loop_sps(lambda p: step(p, x, oh), params, BATCH)
 
 
 def bench_fp32():
@@ -105,9 +131,70 @@ def bench_fp32():
     return _device_loop_sps(step, (params, velocity), BATCH)
 
 
+def bench_cifar_model(name, batch=256):
+    from mandheling_tpu.data import onehot_padded
+    from mandheling_tpu.ops.kernels import use_backend
+    from mandheling_tpu.train import make_train_step
+
+    if name == "mobilenet_v2":
+        from mandheling_tpu.models.mobilenet import mobilenet_v2_niti
+
+        model = mobilenet_v2_niti()
+    else:
+        from mandheling_tpu.models.resnet import resnet18_niti
+
+        model = resnet18_niti()
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (batch, 32, 32, 3)), jnp.float32)
+    oh = jnp.asarray(onehot_padded(rng.integers(0, 10, batch), 10, 12))
+    with use_backend(_BACKEND_CHOICE[name]):
+        step = make_train_step(model)
+        return _device_loop_sps(
+            lambda p: step(p, x, oh), params, batch, iters_lo=5, iters_hi=45
+        )
+
+
 def main():
+    t_start = time.time()
+    detail = {"cases": [], "backend_choice": dict(_BACKEND_CHOICE)}
+
     int8_sps = bench_niti_int8()
+    detail["cases"].append(
+        {"case": "lenet_niti_int8_b2048", "samples_per_sec": round(int8_sps, 1),
+         "backend": _BACKEND_CHOICE["lenet"]}
+    )
     fp32_sps = bench_fp32()
+    detail["cases"].append(
+        {"case": "lenet_fp32_b2048", "samples_per_sec": round(fp32_sps, 1)}
+    )
+
+    # CIFAR-scale models, budget-permitting (compiles dominate)
+    for name in ("mobilenet_v2", "resnet18"):
+        if time.time() - t_start > TIME_BUDGET_S - 180:
+            detail["cases"].append({"case": f"{name}_niti_int8_b256",
+                                    "skipped": "time budget"})
+            continue
+        try:
+            sps = bench_cifar_model(name)
+            detail["cases"].append(
+                {"case": f"{name}_niti_int8_b256",
+                 "samples_per_sec": round(sps, 1),
+                 "backend": _BACKEND_CHOICE[name]}
+            )
+        except Exception as e:
+            detail["cases"].append(
+                {"case": f"{name}_niti_int8_b256",
+                 "error": f"{type(e).__name__}: {e}"[:160]}
+            )
+
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL_r02.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+
     print(
         json.dumps(
             {

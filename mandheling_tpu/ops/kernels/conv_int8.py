@@ -75,8 +75,16 @@ def conv_acc_pallas(
     rhs_dilation: Tuple[int, int] = (1, 1),
     interpret: bool = False,
 ) -> Optional[jax.Array]:
-    """int8 NHWC conv via im2col + Pallas MXU matmul -> int32 NHWC."""
+    """int8 NHWC conv via im2col + Pallas MXU matmul -> int32 NHWC.
+
+    Returns None (caller falls back to XLA's conv) when the im2col GEMM is
+    too skinny for the tiled kernel to be profitable — same economics as
+    matmul_acc_pallas: tile padding on K < 128 or N < 64 inflates the
+    dominant operand's HBM traffic (measured on TPU: the unguarded path
+    cost ~10x on the 12-wide logit layer and the gradient convs)."""
     kh, kw, ic, oc = w.shape
+    if kh * kw * ic < 128 or oc < 64:
+        return None
     patches, (oh, ow) = im2col(
         x, (kh, kw), strides, padding, lhs_dilation, rhs_dilation
     )

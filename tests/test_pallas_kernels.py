@@ -65,8 +65,9 @@ def test_im2col_ordering_matches_hwio_reshape():
 )
 def test_pallas_conv_matches_xla(stride, lhs_dil, rhs_dil):
     rng = np.random.default_rng(1)
-    x = jnp.asarray(rand_int8(rng, (2, 9, 9, 3)))
-    w = jnp.asarray(rand_int8(rng, (3, 3, 3, 5)))
+    # big enough channels to pass the profitability guard (K>=128, OC>=64)
+    x = jnp.asarray(rand_int8(rng, (2, 9, 9, 16)))
+    w = jnp.asarray(rand_int8(rng, (3, 3, 16, 64)))
     pad = ((2, 2), (2, 2))
     import jax
 

@@ -69,10 +69,42 @@ class ImageDataset:
         return len(self.samples)
 
     def _load(self, idx: int) -> np.ndarray:
-        from PIL import Image
-
         cfg = self.config
         path = os.path.join(self.folder, self.samples[idx][0])
+
+        # native decode+crop+resize path (libjpeg, native/imagedec.cpp) —
+        # the reference decodes with stb_image inside the dataset; here the
+        # worker does it in C++ and Python never touches pixels
+        if path.lower().endswith((".jpg", ".jpeg")) and cfg.resize_height > 0:
+            from .native import native_load_image
+
+            crop_yx = (-1, -1)
+            ch_, cw_ = cfg.crop_fraction
+            if cfg.random_crop and (ch_ < 1.0 or cw_ < 1.0):
+                # pin the seeded random crop on the host (decode happens
+                # after, so probe the image size cheaply via PIL header)
+                from PIL import Image
+
+                with Image.open(path) as im:
+                    w0, h0 = im.size
+                hc, wc = int(h0 * ch_), int(w0 * cw_)
+                crop_yx = (
+                    int(self._rng.integers(0, h0 - hc + 1)),
+                    int(self._rng.integers(0, w0 - wc + 1)),
+                )
+            arr = native_load_image(
+                path, cfg.resize_height, cfg.resize_width,
+                cfg.crop_fraction, crop_yx,
+            )
+            if arr is not None:
+                out = arr.astype(np.float32)
+                out = (out - np.asarray(cfg.means, np.float32)) * np.asarray(
+                    cfg.scales, np.float32
+                )
+                return out
+
+        from PIL import Image
+
         img = Image.open(path).convert("RGB")
         arr = np.asarray(img)  # HWC uint8
 

@@ -163,3 +163,37 @@ def read_idx_native(path: str) -> Optional[np.ndarray]:
     assert got == total
     shape = tuple(d for d in dims if d > 0)
     return out.reshape(shape)
+
+
+def native_load_image(
+    path: str,
+    out_h: int,
+    out_w: int,
+    crop_frac=(1.0, 1.0),
+    crop_yx=(-1, -1),
+) -> Optional[np.ndarray]:
+    """Decode + crop + bilinear-resize a JPEG in native code
+    (native/imagedec.cpp, the stb_image analog of the reference's
+    ImageDataset). Returns (out_h, out_w, 3) uint8, or None when the native
+    lib is unavailable or decode fails (caller falls back to PIL).
+
+    The JPEG decode is bit-identical to PIL (both libjpeg); the resize is
+    corner-aligned bilinear (PIL's BILINEAR uses a triangle filter for
+    downscale, so resized pixels differ slightly — both feed the same
+    float normalize, and a dataset uses one path consistently)."""
+    lib = load_native()
+    if lib is None:
+        return None
+    lib.mnd_load_image.restype = ctypes.c_int
+    out = np.empty((out_h, out_w, 3), np.uint8)
+    rc = lib.mnd_load_image(
+        path.encode(),
+        ctypes.c_int(out_h),
+        ctypes.c_int(out_w),
+        ctypes.c_double(float(crop_frac[0])),
+        ctypes.c_double(float(crop_frac[1])),
+        ctypes.c_int(int(crop_yx[0])),
+        ctypes.c_int(int(crop_yx[1])),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out if rc == 0 else None

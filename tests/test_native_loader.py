@@ -105,3 +105,33 @@ def test_native_augment_determinism_and_shape():
     assert all(x.min() >= 0 and x.max() <= 255 for x in a)
     # with pad-crop, some zero borders should appear somewhere
     assert any((x == 0).any() for x in a)
+
+
+def test_native_image_decode_bit_exact_and_dataset_path(tmp_path):
+    """native/imagedec.cpp: JPEG decode must be bit-identical to PIL (both
+    libjpeg); the ImageDataset native path must produce a normalized float
+    image of the configured size."""
+    PIL = pytest.importorskip("PIL.Image")
+    import numpy as np
+
+    from mandheling_tpu.data.image import ImageConfig, ImageDataset
+    from mandheling_tpu.data.native import native_load_image
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (40, 60, 3)).astype(np.uint8)
+    p = tmp_path / "a.jpg"
+    PIL.fromarray(img).save(str(p), quality=95)
+
+    out = native_load_image(str(p), 40, 60)
+    if out is None:
+        pytest.skip("native lib unavailable")
+    ref = np.asarray(PIL.open(str(p)).convert("RGB"))
+    np.testing.assert_array_equal(out, ref)
+
+    (tmp_path / "labels.txt").write_text("a.jpg 3\n")
+    ds = ImageDataset(
+        str(tmp_path), str(tmp_path / "labels.txt"),
+        ImageConfig(resize_height=24, resize_width=32),
+    )
+    x, y = ds[0]
+    assert x.shape == (24, 32, 3) and x.dtype == np.float32 and y == 3

@@ -267,6 +267,90 @@ def pipeline_niti_train(args):
     print(f"final loss: {float(loss):.4f}")
 
 
+@demo("GPipeLeNetTrain")
+def gpipe_lenet_train(args):
+    """General pipeline parallelism: the REAL LeNet staged across the
+    'pipe' mesh axis (heterogeneous stages, parallel/pp_general.py),
+    bit-identical to single-chip at one microbatch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mandheling_tpu.data import onehot_padded
+    from mandheling_tpu.models import NITI_LOGIT_CHANNELS, lenet_niti
+    from mandheling_tpu.parallel.pp import pipe_mesh, quantize_microbatches
+    from mandheling_tpu.parallel.pp_general import (
+        GPipePlan,
+        make_gpipe_train_step,
+        shard_packed_params,
+    )
+
+    n = len(jax.devices())
+    stages = 4 if n >= 4 else (2 if n >= 2 else 1)
+    micro, mb = 2, 32
+    mesh = pipe_mesh(n_stages=stages)
+    model = lenet_niti()
+    params = model.init(jax.random.PRNGKey(0))
+    plan = GPipePlan(model, params, (mb, 28, 28, 1), n_stages=stages)
+    print(f"mesh: {stages} stages, layer bounds {plan.bounds}, "
+          f"{micro} microbatches x {mb}")
+    step = make_gpipe_train_step(plan, mesh, n_microbatches=micro,
+                                 donate=False)
+    packed = shard_packed_params(mesh, plan.pack_params(params))
+    (x, y), _ = _data(args.root)
+    for it in range(args.epochs * 8):
+        i0 = (it * micro * mb) % (len(x) - micro * mb)
+        xf = jnp.asarray(x[i0 : i0 + micro * mb].astype(np.float32))
+        oh = onehot_padded(y[i0 : i0 + micro * mb], 10, NITI_LOGIT_CHANNELS)
+        x_d, x_e = quantize_microbatches(xf, micro)
+        packed, loss = step(
+            packed, x_d, x_e,
+            jnp.asarray(oh).reshape(micro, mb, -1),
+        )
+        if it % 8 == 0:
+            print(f"iter {it}: loss {float(loss):.4f}")
+    print(f"final loss: {float(loss):.4f}")
+
+
+@demo("OnnxImportTrain")
+def onnx_import_train(args):
+    """turnModelToTrainable from ONNX: build a demo ONNX graph, import it
+    as a trainable NITI model (utils/onnx_model.py), train a few steps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mandheling_tpu.data import onehot_padded
+    from mandheling_tpu.train import make_train_step
+    from mandheling_tpu.utils.onnx_io import build_onnx_sequential
+    from mandheling_tpu.utils.onnx_model import niti_model_from_onnx
+
+    rng = np.random.default_rng(0)
+    ops = [
+        ("Conv", {"w": rng.normal(0, 0.2, (8, 1, 5, 5)).astype(np.float32)}),
+        ("Relu", {}),
+        ("MaxPool", {"kernel": (2, 2), "strides": (2, 2)}),
+        ("Conv", {"w": rng.normal(0, 0.2, (16, 8, 3, 3)).astype(np.float32)}),
+        ("Relu", {}),
+        ("MaxPool", {"kernel": (2, 2), "strides": (2, 2)}),
+        ("Flatten", {}),
+        ("Gemm", {"w": rng.normal(0, 0.1, (12, 400)).astype(np.float32)}),
+    ]
+    model_pb = build_onnx_sequential(ops, (1, 1, 28, 28))
+    model, params = niti_model_from_onnx(model_pb)
+    print(f"imported {len(model.layers)} NITI layers from ONNX")
+    step = jax.jit(make_train_step(model))
+    (x, y), _ = _data(args.root)
+    for it in range(args.epochs * 16):
+        i0 = (it * 64) % (len(x) - 64)
+        xf = jnp.asarray(x[i0 : i0 + 64].astype(np.float32))
+        oh = jnp.asarray(onehot_padded(y[i0 : i0 + 64], 10, 12))
+        params, loss = step(params, xf, oh)
+        if it % 16 == 0:
+            print(f"iter {it}: loss {float(loss):.4f}")
+    print(f"final loss: {float(loss):.4f}")
+
+
 @demo("NnGradTest")
 def nn_grad_test(args):
     """Gradient correctness check (reference nnGradTest.cpp / DEBUG_GRAD

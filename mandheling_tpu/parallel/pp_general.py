@@ -74,15 +74,8 @@ class GPipePlan:
         self.model = model
         self.n_stages = n_stages
         L = len(model.layers)
-        if bounds is None:
-            bounds = self._balance(params_template, L, n_stages)
-        assert len(bounds) == n_stages + 1 and bounds[0] == 0 and bounds[-1] == L
-        assert all(b1 > b0 for b0, b1 in zip(bounds, bounds[1:])), (
-            f"empty stage in bounds {bounds}"
-        )
-        self.bounds = list(bounds)
 
-        # trace activation shapes at every stage boundary
+        # trace activation shapes at every layer boundary
         shapes = [tuple(microbatch_shape)]
         q = QTensor(
             jax.ShapeDtypeStruct(tuple(microbatch_shape), jnp.int8),
@@ -96,6 +89,14 @@ class GPipePlan:
             )
             shapes.append(tuple(out.data.shape))
         self.act_shapes = shapes  # per layer boundary, len L+1
+
+        if bounds is None:
+            bounds = self._balance(params_template, shapes, L, n_stages)
+        assert len(bounds) == n_stages + 1 and bounds[0] == 0 and bounds[-1] == L
+        assert all(b1 > b0 for b0, b1 in zip(bounds, bounds[1:])), (
+            f"empty stage in bounds {bounds}"
+        )
+        self.bounds = list(bounds)
         self.stage_in_shapes = [shapes[b] for b in self.bounds[:-1]]
         self.stage_out_shapes = [shapes[b] for b in self.bounds[1:]]
         self.out_shape = shapes[-1]
@@ -136,30 +137,48 @@ class GPipePlan:
         return out
 
     @staticmethod
-    def _balance(params_template, n_layers: int, n_stages: int) -> List[int]:
-        """Split layers into contiguous stages balancing parameter counts
-        (ties broken toward equal layer counts)."""
-        costs = [
-            sum(int(np.prod(l.shape)) for l in jax.tree.leaves(p)
-                if getattr(l, "dtype", None) == jnp.int8) + 1
-            for p in params_template
-        ]
-        total = sum(costs)
-        bounds = [0]
-        acc = 0
-        for i, c in enumerate(costs):
-            acc += c
-            remaining_stages = n_stages - len(bounds)
-            remaining_layers = n_layers - (i + 1)
-            if remaining_stages == 0:
-                continue
-            if acc >= total / n_stages or remaining_layers == remaining_stages:
-                bounds.append(i + 1)
-                acc = 0
-        while len(bounds) < n_stages:
-            bounds.append(n_layers)
-        bounds.append(n_layers)
-        return bounds
+    def _balance(params_template, act_shapes, n_layers: int,
+                 n_stages: int) -> List[int]:
+        """Split layers into contiguous stages minimizing the max stage
+        COMPUTE (pipeline throughput is gated by the slowest stage, not by
+        parameter storage). Per-layer cost proxy: MACs for parameterized
+        layers (out_elems x param_elems / oc), activation elements for
+        element-wise ones. Exact min-max via DP over contiguous splits
+        (L and S are tiny)."""
+        costs = []
+        for i, p in enumerate(params_template):
+            out_elems = int(np.prod(act_shapes[i + 1]))
+            p8 = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(p)
+                     if getattr(l, "dtype", None) == jnp.int8)
+            if p8:
+                oc = act_shapes[i + 1][-1]
+                costs.append(out_elems * max(p8 // max(oc, 1), 1))
+            else:
+                costs.append(out_elems)
+        prefix = np.concatenate([[0], np.cumsum(costs)])
+
+        def seg(a, b):
+            return prefix[b] - prefix[a]
+
+        INF = float("inf")
+        # dp[s][i]: min over splits of max-stage-cost using s stages for
+        # layers [0, i)
+        dp = [[INF] * (n_layers + 1) for _ in range(n_stages + 1)]
+        cut = [[0] * (n_layers + 1) for _ in range(n_stages + 1)]
+        dp[0][0] = 0.0
+        for s in range(1, n_stages + 1):
+            for i in range(s, n_layers + 1):
+                for j in range(s - 1, i):
+                    v = max(dp[s - 1][j], seg(j, i))
+                    if v < dp[s][i]:
+                        dp[s][i] = v
+                        cut[s][i] = j
+        bounds = [n_layers]
+        i = n_layers
+        for s in range(n_stages, 0, -1):
+            i = cut[s][i]
+            bounds.append(i)
+        return list(reversed(bounds))
 
     # ---- packing -----------------------------------------------------------
 

@@ -134,6 +134,42 @@ def _fused_enabled() -> Optional[bool]:
     return backend == "pallas_interpret"
 
 
+# Fused-conv kernel selection under the Pallas backends. Measured on TPU
+# v5e (tools/probes/fused_decision_probe.py, median-of-rounds device-loop):
+#   fc1_fwd  832x500 b2048: fused matmul 0.007 ms vs XLA 0.022 ms (3x WIN)
+#   conv2_fwd 5x5 20->52:   banded 0.299 ms vs XLA 0.060 ms (5x loss)
+#   resnetL1 3x3 64->64:    banded 1.653 ms vs XLA 0.365 ms (4.5x loss)
+# The banded form's structural zeros (W_in/kw wasted MXU flops) x the
+# two-phase recompute exceed the 3-pass int32 HBM cost it avoids, so
+# "matmul_only" (large 1x1/FC through the fused two-phase matmul, spatial
+# convs through XLA) is the measured-best default; "all" (banded spatial
+# convs too) stays available for parity tests and future kernel work.
+_FUSED_CONV_MODE = "matmul_only"
+_FC_VALID = ("off", "matmul_only", "all")
+
+
+def set_fused_conv_mode(mode: str) -> None:
+    global _FUSED_CONV_MODE
+    if mode not in _FC_VALID:
+        raise ValueError(f"mode must be one of {_FC_VALID}, got {mode!r}")
+    _FUSED_CONV_MODE = mode
+
+
+def get_fused_conv_mode() -> str:
+    return _FUSED_CONV_MODE
+
+
+@contextlib.contextmanager
+def use_fused_conv_mode(mode: str):
+    global _FUSED_CONV_MODE
+    prev = _FUSED_CONV_MODE
+    set_fused_conv_mode(mode)
+    try:
+        yield
+    finally:
+        _FUSED_CONV_MODE = prev
+
+
 def _fused_conv_requant(
     x: jax.Array,
     w: jax.Array,
@@ -155,6 +191,8 @@ def _fused_conv_requant(
     from .kernels import fused_conv_int8 as _fused
     from .kernels import fused_matmul_int8 as _fmm
 
+    if _FUSED_CONV_MODE == "off":
+        return None
     kh, kw, ic, oc = w.shape
     sh, sw = stride
     if kh == 1 and kw == 1:
@@ -175,6 +213,8 @@ def _fused_conv_requant(
             a2, w2, eff_shift, grad=False, interpret=interpret
         )
         return y.reshape(b, h, w_sp, oc), eff_shift
+    if _FUSED_CONV_MODE != "all":
+        return None
     wp = x.shape[2] + pad[1][0] + pad[1][1]
     if not _fused.supports(w.shape, wp, stride):
         return None

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from mandheling_tpu.ops import conv as conv_ops
+from mandheling_tpu.ops.conv import use_fused_conv_mode
 from mandheling_tpu.ops.kernels import use_backend
 from mandheling_tpu.ops.kernels.conv_int8 import conv_acc_pallas, im2col
 from mandheling_tpu.ops.kernels.matmul_int8 import (
@@ -86,8 +87,8 @@ def test_pallas_conv_matches_xla(stride, lhs_dil, rhs_dil):
         ((2, 9, 9, 3), (3, 3, 3, 8), (2, 2), "SAME"),     # strided banded
         ((2, 9, 9, 3), (5, 5, 3, 8), (2, 2), "SAME"),     # 5x5 stride-2
         ((2, 33, 33, 8), (3, 3, 8, 16), (2, 2), "SAME"),  # downsample shape
-        ((4, 16, 16, 64), (1, 1, 64, 128), (1, 1), "VALID"),  # 1x1 matmul
-        ((4, 16, 16, 64), (1, 1, 64, 128), (2, 2), "VALID"),  # 1x1 stride-2
+        ((4, 16, 16, 256), (1, 1, 256, 128), (1, 1), "VALID"),  # 1x1 matmul
+        ((4, 16, 16, 256), (1, 1, 256, 128), (2, 2), "VALID"),  # 1x1 stride-2
     ],
 )
 def test_fused_conv_strided_and_1x1_parity(x_shape, w_shape, stride, padding):
@@ -100,7 +101,7 @@ def test_fused_conv_strided_and_1x1_parity(x_shape, w_shape, stride, padding):
     w = jnp.asarray(rand_int8(rng, w_shape))
     y0, e0 = conv_ops.conv2d_forward(x, jnp.int32(-5), w, jnp.int32(-6),
                                      stride, padding)
-    with use_backend("pallas_interpret"):
+    with use_backend("pallas_interpret"), use_fused_conv_mode("all"):
         y1, e1 = conv_ops.conv2d_forward(x, jnp.int32(-5), w, jnp.int32(-6),
                                          stride, padding)
     np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
@@ -108,7 +109,7 @@ def test_fused_conv_strided_and_1x1_parity(x_shape, w_shape, stride, padding):
 
     gy = jnp.asarray(rand_int8(rng, np.asarray(y0).shape))
     g0 = conv_ops.conv2d_input_grad(gy, w, x_shape[1:3], stride, padding)
-    with use_backend("pallas_interpret"):
+    with use_backend("pallas_interpret"), use_fused_conv_mode("all"):
         g1 = conv_ops.conv2d_input_grad(gy, w, x_shape[1:3], stride, padding)
     np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
 
@@ -143,11 +144,14 @@ def test_fused_matmul_two_phase_parity():
 
 
 @pytest.mark.slow
-def test_train_step_cross_backend_bit_parity():
+@pytest.mark.parametrize("fused_mode", ["matmul_only", "all"])
+def test_train_step_cross_backend_bit_parity(fused_mode):
     """N full train steps under xla vs pallas_interpret must produce
     identical params, losses, and exponents — the whole-graph SIMU check
     (reference: nn/NN.cpp:1250-1255, NITI_ConvMinMax_Int8.cpp:162-268
-    validate the offloaded graph's numerics on CPU)."""
+    validate the offloaded graph's numerics on CPU). Runs under both the
+    measured-default fused mode and "all" (banded conv kernels in the
+    whole graph)."""
     import jax
 
     from mandheling_tpu.data import onehot_padded
@@ -163,7 +167,7 @@ def test_train_step_cross_backend_bit_parity():
     def run(backend):
         params = model.init(jax.random.PRNGKey(0))
         losses = []
-        with use_backend(backend):
+        with use_backend(backend), use_fused_conv_mode(fused_mode):
             step = jax.jit(make_train_step(model))
             for _ in range(5):
                 params, loss = step(params, x, oh)
@@ -186,7 +190,7 @@ def test_backend_switch_end_to_end():
     x = jnp.asarray(rand_int8(rng, (2, 8, 8, 4)))
     w = jnp.asarray(rand_int8(rng, (3, 3, 4, 8)))
     y_xla, e_xla = conv_ops.conv2d_forward(x, jnp.int32(-5), w, jnp.int32(-6))
-    with use_backend("pallas_interpret"):
+    with use_backend("pallas_interpret"), use_fused_conv_mode("all"):
         y_p, e_p = conv_ops.conv2d_forward(x, jnp.int32(-5), w, jnp.int32(-6))
     np.testing.assert_array_equal(np.asarray(y_xla), np.asarray(y_p))
     assert int(e_xla) == int(e_p)

@@ -113,17 +113,11 @@ def _acc_into(acc_ref, s_refs, b_ref, kh: int):
 
 
 def _max_kernel(s_refs, b_ref, m_ref, acc_ref, *, kh):
-    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    # per-(j, i) tile max into its own output cell: no cross-step state, so
+    # both grid dims stay "parallel" (pipelined DMAs); the tiny (nj, ni)
+    # maxima reduce outside the kernel
     _acc_into(acc_ref, s_refs, b_ref, kh)
-    tmax = jnp.max(jnp.abs(acc_ref[:]))
-
-    @pl.when(first)
-    def _():
-        m_ref[0, 0] = tmax
-
-    @pl.when(jnp.logical_not(first))
-    def _():
-        m_ref[0, 0] = jnp.maximum(m_ref[0, 0], tmax)
+    m_ref[0, 0] = jnp.max(jnp.abs(acc_ref[:]))
 
 
 def _fwd_epilogue(acc, shift):
@@ -240,18 +234,18 @@ def conv_max_pallas(
     in_specs, scratch = _grid_specs(kh, kp, np_, bn, r)
     m = pl.pallas_call(
         functools.partial(_max_kernel, kh=kh),
-        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((np_ // bn, rows // r), jnp.int32),
         grid=(np_ // bn, rows // r),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1), lambda j, i: (0, 0),
-                               memory_space=pltpu.SMEM),
+        out_specs=pl.BlockSpec((1, 1), lambda j, i: (j, i),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
     )(slabs, bands)
-    return m[0, 0]
+    return jnp.max(m)
 
 
 @functools.partial(
@@ -282,7 +276,7 @@ def conv_requant_pallas(
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
     )(shift.reshape(1).astype(jnp.int32), slabs, bands)

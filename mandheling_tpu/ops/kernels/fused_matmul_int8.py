@@ -54,17 +54,15 @@ def _acc_step(a_ref, b_ref, acc_ref):
 
 
 def _max_kernel(a_ref, b_ref, m_ref, acc_ref):
+    # per-(i, j) tile max written to its own output cell: no cross-step
+    # state, so the i/j grid dims stay "parallel" and Mosaic can pipeline
+    # block DMAs; the tiny (ni, nj) maxima reduce outside the kernel
     _acc_step(a_ref, b_ref, acc_ref)
     last_k = pl.program_id(2) == pl.num_programs(2) - 1
-    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
-    @pl.when(last_k & first)
+    @pl.when(last_k)
     def _():
         m_ref[0, 0] = jnp.max(jnp.abs(acc_ref[:]))
-
-    @pl.when(last_k & jnp.logical_not(first))
-    def _():
-        m_ref[0, 0] = jnp.maximum(m_ref[0, 0], jnp.max(jnp.abs(acc_ref[:])))
 
 
 def _requant_kernel(shift_ref, a_ref, b_ref, y_ref, acc_ref, *, bn, grad):
@@ -118,7 +116,7 @@ def matmul_max_pallas(
     b_p = jnp.pad(b, ((0, kp - k), (0, np_ - n)))
     out = pl.pallas_call(
         _max_kernel,
-        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((mp // tm, np_ // tn), jnp.int32),
         grid=(mp // tm, np_ // tn, kp // tk),
         in_specs=[
             pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
@@ -126,11 +124,11 @@ def matmul_max_pallas(
             pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i, j, kk: (0, 0),
-                               memory_space=pltpu.SMEM),
+        out_specs=pl.BlockSpec((1, 1), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * kp,
@@ -139,7 +137,7 @@ def matmul_max_pallas(
         ),
         interpret=interpret,
     )(a_p, b_p)
-    return out[0, 0]
+    return jnp.max(out)
 
 
 @functools.partial(jax.jit, static_argnames=("grad", "interpret"))
@@ -173,7 +171,7 @@ def matmul_requant_pallas(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * kp,

@@ -31,6 +31,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mandheling_tpu.utils import compile_cache
+
+compile_cache.enable()
+
 BATCH = 2048
 ITERS_LO = 10
 ITERS_HI = 210
@@ -55,13 +59,14 @@ def _device_loop_sps(step_fn, init_state, batch, iters_lo=None, iters_hi=None):
     The axon relay adds a large, *noisy* fixed cost per dispatch, so the
     per-iteration time is the difference between a long and a short loop,
     measured over several rounds with the median taken (single-round
-    differential timing was observed to go negative under relay jitter)."""
-    import functools
+    differential timing was observed to go negative under relay jitter).
 
-    iters_lo = iters_lo or ITERS_LO
-    iters_hi = iters_hi or ITERS_HI
+    `iters` is a *traced* loop bound: lo and hi share ONE compiled
+    executable (relay compiles are minutes; halving the compile count
+    matters more than any static-unroll gain, and XLA does not unroll
+    static fori_loops anyway)."""
 
-    @functools.partial(jax.jit, static_argnums=1)
+    @jax.jit
     def run(state, iters):
         def body(i, carry):
             state, acc = carry
@@ -71,6 +76,8 @@ def _device_loop_sps(step_fn, init_state, batch, iters_lo=None, iters_hi=None):
         _, acc = jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0)))
         return acc
 
+    iters_lo = jnp.int32(iters_lo or ITERS_LO)
+    iters_hi = jnp.int32(iters_hi or ITERS_HI)
     np.asarray(run(init_state, iters_lo))  # compile + warm
     np.asarray(run(init_state, iters_hi))
     deltas = []
@@ -80,7 +87,7 @@ def _device_loop_sps(step_fn, init_state, batch, iters_lo=None, iters_hi=None):
         t1 = time.perf_counter()
         np.asarray(run(init_state, iters_hi))
         t2 = time.perf_counter()
-        deltas.append(((t2 - t1) - (t1 - t0)) / (iters_hi - iters_lo))
+        deltas.append(((t2 - t1) - (t1 - t0)) / int(iters_hi - iters_lo))
     dt = float(np.median(deltas))
     return batch / dt
 

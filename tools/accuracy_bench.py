@@ -27,6 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from mandheling_tpu.utils import compile_cache
+
+compile_cache.enable()
+
 
 def load_dataset(root):
     from mandheling_tpu.data.mnist import load_mnist

@@ -22,6 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mandheling_tpu.utils import compile_cache
+
+compile_cache.enable()
+
 LO, HI = 5, 35
 
 SHAPES = {
@@ -38,19 +42,20 @@ SHAPES = {
 def _device_ms(step_like):
     """step_like(dep_scalar) -> new dep scalar; returns ms/iter."""
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @jax.jit
     def run(iters):
         def body(i, dep):
             return step_like(dep)
 
         return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
 
-    np.asarray(run(LO))
-    np.asarray(run(HI))
+    lo, hi = jnp.int32(LO), jnp.int32(HI)
+    np.asarray(run(lo))
+    np.asarray(run(hi))
     t0 = time.perf_counter()
-    np.asarray(run(LO))
+    np.asarray(run(lo))
     t1 = time.perf_counter()
-    np.asarray(run(HI))
+    np.asarray(run(hi))
     t2 = time.perf_counter()
     return 1e3 * ((t2 - t1) - (t1 - t0)) / (HI - LO)
 

@@ -18,11 +18,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mandheling_tpu.utils import compile_cache
+
+compile_cache.enable()
+
 ITERS_LO, ITERS_HI, ROUNDS = 5, 55, 3
 
 
 def device_loop_sps(step_fn, init_state, batch):
-    @functools.partial(jax.jit, static_argnums=1)
+    @jax.jit
     def run(state, iters):
         def body(i, carry):
             state, acc = carry
@@ -32,14 +36,14 @@ def device_loop_sps(step_fn, init_state, batch):
         _, acc = jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0)))
         return acc
 
-    np.asarray(run(init_state, ITERS_LO))
-    np.asarray(run(init_state, ITERS_HI))
+    np.asarray(run(init_state, jnp.int32(ITERS_LO)))
+    np.asarray(run(init_state, jnp.int32(ITERS_HI)))
     deltas = []
     for _ in range(ROUNDS):
         t0 = time.perf_counter()
-        np.asarray(run(init_state, ITERS_LO))
+        np.asarray(run(init_state, jnp.int32(ITERS_LO)))
         t1 = time.perf_counter()
-        np.asarray(run(init_state, ITERS_HI))
+        np.asarray(run(init_state, jnp.int32(ITERS_HI)))
         t2 = time.perf_counter()
         deltas.append(((t2 - t1) - (t1 - t0)) / (ITERS_HI - ITERS_LO))
     dt = float(np.median(deltas))

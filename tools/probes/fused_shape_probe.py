@@ -17,6 +17,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mandheling_tpu.utils import compile_cache
+
+compile_cache.enable()
+
 from mandheling_tpu.ops import conv as conv_ops
 from mandheling_tpu.ops.kernels import use_backend
 
@@ -27,7 +31,7 @@ def dev_time(fn, *args):
     """Device-loop differential timing of y = fn(*args) (y int8). Non-array
     args (strides/padding strings) are closed over, not traced."""
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @jax.jit
     def run(iters):
         def body(i, acc):
             out = fn(*args)
@@ -36,9 +40,10 @@ def dev_time(fn, *args):
 
         return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
 
-    np.asarray(run(LO)); np.asarray(run(HI))
-    t0 = time.perf_counter(); np.asarray(run(LO))
-    t1 = time.perf_counter(); np.asarray(run(HI))
+    lo, hi = jnp.int32(LO), jnp.int32(HI)
+    np.asarray(run(lo)); np.asarray(run(hi))
+    t0 = time.perf_counter(); np.asarray(run(lo))
+    t1 = time.perf_counter(); np.asarray(run(hi))
     t2 = time.perf_counter()
     return ((t2 - t1) - (t1 - t0)) / (HI - LO)
 
@@ -71,15 +76,23 @@ def main():
         ("fc1_fgrad", conv_ops.conv2d_filter_grad,
          (ri8((B, 1, 1, 832)), ri8((B, 1, 1, 500)), (1, 1), (1, 1), "VALID")),
     ]
+    import contextlib
+
+    variants = [
+        ("xla", "xla", contextlib.nullcontext),
+        ("pallas", "pallas", contextlib.nullcontext),
+        ("pallas_all", "pallas",
+         lambda: conv_ops.use_fused_conv_mode("all")),
+    ]
     for name, fn, args in cases:
         row = {"op": name}
-        for backend in ("xla", "pallas"):
-            with use_backend(backend):
+        for label, backend, mode_ctx in variants:
+            with use_backend(backend), mode_ctx():
                 try:
                     dt = dev_time(fn, *args)
-                    row[backend] = round(dt * 1e3, 3)
+                    row[label] = round(dt * 1e3, 3)
                 except Exception as e:
-                    row[backend] = f"{type(e).__name__}"[:60]
+                    row[label] = f"{type(e).__name__}"[:60]
         print(json.dumps(row), flush=True)
 
 

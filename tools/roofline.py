@@ -22,6 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mandheling_tpu.utils import compile_cache
+
+compile_cache.enable()
+
 # peak int8 TOPS per chip (MXU); v5e ~394.7, v4 ~275 (bf16x2), v5p ~918
 PEAK_INT8_TOPS = {
     "v5 lite": 394.7,
@@ -49,7 +53,7 @@ def time_fn_device(int8_fn, a, b, iters_lo=5, iters_hi=55):
     also adds a large FIXED cost per dispatch (~30 ms), so the per-iteration
     time is the difference between a long and a short loop."""
 
-    @functools.partial(jax.jit, static_argnums=2)
+    @jax.jit
     def run(a, b, iters):
         def body(i, a):
             return int8_fn(a, b)
@@ -57,14 +61,15 @@ def time_fn_device(int8_fn, a, b, iters_lo=5, iters_hi=55):
         out = jax.lax.fori_loop(0, iters, body, a)
         return jnp.sum(out.astype(jnp.int32))
 
-    np.asarray(run(a, b, iters_lo))  # compile + warm
+    iters_lo, iters_hi = jnp.int32(iters_lo), jnp.int32(iters_hi)
+    np.asarray(run(a, b, iters_lo))  # compile (once: iters is traced) + warm
     np.asarray(run(a, b, iters_hi))
     t0 = time.perf_counter()
     np.asarray(run(a, b, iters_lo))
     t1 = time.perf_counter()
     np.asarray(run(a, b, iters_hi))
     t2 = time.perf_counter()
-    return ((t2 - t1) - (t1 - t0)) / (iters_hi - iters_lo)
+    return ((t2 - t1) - (t1 - t0)) / int(iters_hi - iters_lo)
 
 
 def _to_int8(c32):

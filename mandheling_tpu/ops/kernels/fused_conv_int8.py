@@ -86,16 +86,21 @@ def _build_bands(w: jax.Array, wp: int, ow: int, sw: int) -> jax.Array:
     return jnp.stack(bands)
 
 
-def _build_slabs(xp: jax.Array, kh: int, oh: int, sh: int) -> jax.Array:
-    """Padded NHWC x -> (kh, B*OH, W_in*ic) int8 dense row-slabs (row
-    stride sh carries the forward H-stride)."""
+def _build_slabs(
+    xp: jax.Array, kh: int, oh: int, sh: int, rows_p: int
+) -> jax.Array:
+    """Padded NHWC x -> (kh, rows_p, W_in*ic) int8 dense row-slabs (row
+    stride sh carries the forward H-stride; rows zero-padded from B*OH up
+    to rows_p for (8, 128) tile legality — zero rows cannot raise the
+    |acc| max and their outputs are sliced off)."""
     b, hp, wp, ic = xp.shape
-    return jnp.stack(
+    slabs = jnp.stack(
         [
             xp[:, dy : dy + (oh - 1) * sh + 1 : sh].reshape(b * oh, wp * ic)
             for dy in range(kh)
         ]
     )
+    return jnp.pad(slabs, ((0, 0), (0, rows_p - b * oh), (0, 0)))
 
 
 def _acc_into(acc_ref, s_refs, b_ref, kh: int):
@@ -113,11 +118,13 @@ def _acc_into(acc_ref, s_refs, b_ref, kh: int):
 
 
 def _max_kernel(s_refs, b_ref, m_ref, acc_ref, *, kh):
-    # per-(j, i) tile max into its own output cell: no cross-step state, so
-    # both grid dims stay "parallel" (pipelined DMAs); the tiny (nj, ni)
-    # maxima reduce outside the kernel
+    # per-(j, i) tile max into its own cell of one full-array SMEM output
+    # block (Mosaic rejects sub-blocked scalar outputs: block dims must be
+    # (8, 128)-divisible or equal the array dims). Each tile owns a
+    # distinct cell — no read-modify-write; the tiny (nj, ni) maxima
+    # reduce outside the kernel.
     _acc_into(acc_ref, s_refs, b_ref, kh)
-    m_ref[0, 0] = jnp.max(jnp.abs(acc_ref[:]))
+    m_ref[pl.program_id(0), pl.program_id(1)] = jnp.max(jnp.abs(acc_ref[:]))
 
 
 def _fwd_epilogue(acc, shift):
@@ -154,10 +161,12 @@ def _plan_n(np_: int, kh: int, kp: int, budget: int = _BAND_BUDGET) -> int:
     return 128
 
 
-def _plan_rows(rows: int, kh: int, kp: int, bn: int,
+def _plan_rows(rows_p: int, kh: int, kp: int, bn: int,
                budget: int = _STACK_BUDGET) -> int:
     """Largest row tile whose VMEM working set (band block excluded — it is
-    budgeted separately in _plan_n) fits the scoped-vmem stack budget."""
+    budgeted separately in _plan_n) fits the scoped-vmem stack budget.
+    `rows_p` is a multiple of 8 and the returned tile is a multiple of 8
+    dividing it (Mosaic block legality: sublane dim 8-divisible)."""
     budget = budget - kh * kp * bn  # resident band block
     per_row = (
         kh * kp              # slab blocks (int8)
@@ -165,9 +174,10 @@ def _plan_rows(rows: int, kh: int, kp: int, bn: int,
         + 8 * _EPI_CHUNK * 4  # epilogue temps (int32, chunked)
         + bn                 # out block (int8)
     )
-    r = min(max(budget // max(per_row, 1), 8), rows)
-    while rows % r:
-        r -= 1
+    r = min(max(budget // max(per_row, 1), 8), rows_p)
+    r -= r % 8
+    while rows_p % r:
+        r -= 8
     return r
 
 
@@ -196,10 +206,11 @@ def _prep(x, w, padding, stride):
     np_ = _round_up(ow * oc, 128)
     bn = _plan_n(np_, kh, kp)
     bands = _build_bands(w, wp, ow, sw)
-    slabs = _build_slabs(xp, kh, oh, sh)
     rows = b * oh
-    r = _plan_rows(rows, kh, kp, bn)
-    return slabs, bands, (b, oh, ow, oc, kh, kp, np_, bn, rows, r)
+    rows_p = _round_up(rows, 8)
+    slabs = _build_slabs(xp, kh, oh, sh, rows_p)
+    r = _plan_rows(rows_p, kh, kp, bn)
+    return slabs, bands, (b, oh, ow, oc, kh, kp, np_, bn, rows, rows_p, r)
 
 
 def _grid_specs(kh, kp, np_, bn, r):
@@ -228,20 +239,22 @@ def conv_max_pallas(
 ) -> jax.Array:
     """Phase 1: global max|acc| of the int8 conv, int32 scalar.
     No accumulator leaves VMEM."""
-    slabs, bands, (b, oh, ow, oc, kh, kp, np_, bn, rows, r) = _prep(
+    slabs, bands, (b, oh, ow, oc, kh, kp, np_, bn, rows, rows_p, r) = _prep(
         x, w, padding, stride
     )
     in_specs, scratch = _grid_specs(kh, kp, np_, bn, r)
     m = pl.pallas_call(
         functools.partial(_max_kernel, kh=kh),
-        out_shape=jax.ShapeDtypeStruct((np_ // bn, rows // r), jnp.int32),
-        grid=(np_ // bn, rows // r),
+        out_shape=jax.ShapeDtypeStruct((np_ // bn, rows_p // r), jnp.int32),
+        grid=(np_ // bn, rows_p // r),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1), lambda j, i: (j, i),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((np_ // bn, rows_p // r), lambda j, i: (0, 0),
+                               memory_space=pltpu.SMEM),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            # every grid step writes into the one resident SMEM output
+            # block -> sequential dims; input DMA pipelining is unaffected
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(slabs, bands)
@@ -263,14 +276,14 @@ def conv_requant_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """Phase 2: recompute the conv and requantize in-kernel -> int8 NHWC."""
-    slabs, bands, (b, oh, ow, oc, kh, kp, np_, bn, rows, r) = _prep(
+    slabs, bands, (b, oh, ow, oc, kh, kp, np_, bn, rows, rows_p, r) = _prep(
         x, w, padding, stride
     )
     in_specs, scratch = _grid_specs(kh, kp, np_, bn, r)
     y = pl.pallas_call(
         functools.partial(_requant_kernel, kh=kh, bn=bn, grad=grad),
-        out_shape=jax.ShapeDtypeStruct((rows, ow * oc), jnp.int8),
-        grid=(np_ // bn, rows // r),
+        out_shape=jax.ShapeDtypeStruct((rows_p, ow * oc), jnp.int8),
+        grid=(np_ // bn, rows_p // r),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs,
         out_specs=pl.BlockSpec((r, bn), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
@@ -281,4 +294,4 @@ def conv_requant_pallas(
         interpret=interpret,
     )(shift.reshape(1).astype(jnp.int32), slabs, bands)
     # row-major (b*oh, ow*oc) == (b, oh, ow, oc): free bitcast reshape
-    return y.reshape(b, oh, ow, oc)
+    return y[:rows].reshape(b, oh, ow, oc)

@@ -54,15 +54,19 @@ def _acc_step(a_ref, b_ref, acc_ref):
 
 
 def _max_kernel(a_ref, b_ref, m_ref, acc_ref):
-    # per-(i, j) tile max written to its own output cell: no cross-step
-    # state, so the i/j grid dims stay "parallel" and Mosaic can pipeline
-    # block DMAs; the tiny (ni, nj) maxima reduce outside the kernel
+    # per-(i, j) tile max written to its own cell of one full-array SMEM
+    # output block (Mosaic rejects sub-blocked scalar outputs: block dims
+    # must be (8, 128)-divisible or equal the array dims). Each tile owns a
+    # distinct cell, so there is no read-modify-write serialization; the
+    # tiny (ni, nj) maxima reduce outside the kernel.
     _acc_step(a_ref, b_ref, acc_ref)
     last_k = pl.program_id(2) == pl.num_programs(2) - 1
+    i, j = pl.program_id(0), pl.program_id(1)  # hoisted: program_id inside
+    # the pl.when body escapes the kernel trace in interpret mode
 
     @pl.when(last_k)
     def _():
-        m_ref[0, 0] = jnp.max(jnp.abs(acc_ref[:]))
+        m_ref[i, j] = jnp.max(jnp.abs(acc_ref[:]))
 
 
 def _requant_kernel(shift_ref, a_ref, b_ref, y_ref, acc_ref, *, bn, grad):
@@ -124,11 +128,14 @@ def matmul_max_pallas(
             pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i, j, kk: (i, j),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((mp // tm, np_ // tn), lambda i, j, kk: (0, 0),
+                               memory_space=pltpu.SMEM),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # all grid steps write into the one resident SMEM output block,
+            # so the dims must be sequential ("arbitrary"); input-block DMA
+            # pipelining across steps is unaffected
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * kp,

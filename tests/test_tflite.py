@@ -1,0 +1,166 @@
+"""TFLite import/export: wire-format round trip, NITI model import parity,
+and converter-cursor compatibility (the TFLite leg of the reference's
+converter, `tools/converter/source/tflite` — SURVEY.md section 2.9)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mandheling_tpu.models import lenet_niti
+from mandheling_tpu.ops.qtensor import QTensor
+from mandheling_tpu.utils import tflite_io as T
+from mandheling_tpu.utils.tflite_model import (
+    modules_from_tflite,
+    niti_model_from_tflite,
+    tflite_from_sequential,
+)
+
+
+def _export_lenet():
+    model = lenet_niti()
+    params = model.init(jax.random.PRNGKey(3))
+    buf = tflite_from_sequential(model, params, (2, 28, 28, 1))
+    return model, params, buf
+
+
+def test_tflite_export_structure():
+    _, _, buf = _export_lenet()
+    m = T.load_tflite(buf)
+    names = [op.name for op in m.ops]
+    # LeNet-NITI: conv-pool-relu x2, flatten, fc(relu), fc
+    assert names.count("CONV_2D") == 2
+    assert names.count("MAX_POOL_2D") == 2
+    assert names.count("FULLY_CONNECTED") == 2
+    assert "RESHAPE" in names
+    assert m.tensors[m.inputs[0]].shape == [2, 28, 28, 1]
+    conv1 = next(op for op in m.ops if op.name == "CONV_2D")
+    w = m.tensors[conv1.inputs[1]]
+    assert w.shape == [20, 5, 5, 1]  # OHWI
+    assert w.data is not None and w.data.dtype == np.float32
+
+
+def test_tflite_roundtrip_bit_exact_forward():
+    """Export -> import must reproduce the exact int8 forward: the NITI
+    initializer scales max|data| to 127, so the power-of-two requantization
+    on import is the identity."""
+    model, params, buf = _export_lenet()
+    model2, params2 = niti_model_from_tflite(buf)
+
+    rng = np.random.default_rng(0)
+    x = QTensor(jnp.asarray(rng.integers(-64, 64, (2, 28, 28, 1)), jnp.int8),
+                jnp.int32(-5))
+    y1, _ = model.fwd(params, x)
+    y2, _ = model2.fwd(params2, x)
+    np.testing.assert_array_equal(np.asarray(y1.data), np.asarray(y2.data))
+    assert int(y1.exp) == int(y2.exp)
+
+
+def test_tflite_modules_cursor():
+    _, params, buf = _export_lenet()
+    mods = modules_from_tflite(buf)
+    kinds = [k for k, _ in mods]
+    assert kinds == ["conv", "conv", "linear", "linear"]
+    w0 = mods[0][1]["w"]  # HWIO
+    assert w0.shape == (5, 5, 1, 20)
+    q = params[0]["w"]
+    np.testing.assert_allclose(
+        w0, np.asarray(q.data, np.float32) * 2.0 ** int(q.exp), rtol=0, atol=0
+    )
+
+
+def test_tflite_quantized_weights_dequantize():
+    """Per-tensor and per-axis quantized constants dequantize correctly —
+    the path that imports PTQ'd int8 TFLite models into NITI."""
+    t = T.TFLTensor(shape=[2, 2], dtype=9,
+                    data=np.array([[10, -20], [30, 40]], np.int8),
+                    scale=[0.5], zero_point=[2])
+    np.testing.assert_allclose(
+        t.dequantized(), (np.array([[10, -20], [30, 40]]) - 2) * 0.5
+    )
+    t2 = T.TFLTensor(shape=[2, 2], dtype=9,
+                     data=np.array([[10, -20], [30, 40]], np.int8),
+                     scale=[0.5, 0.25], zero_point=[0, 0],
+                     quantized_dimension=0)
+    np.testing.assert_allclose(
+        t2.dequantized(), np.array([[5.0, -10.0], [7.5, 10.0]])
+    )
+
+
+def test_tflite_import_rejects_nonzero_bias_and_branching():
+    w = T.TFLiteWriter()
+    inp = w.tensor((1, 8, 8, 3), name="in")
+    wt = w.const(np.ones((4, 3, 3, 3), np.float32))
+    bias = w.const(np.ones((4,), np.float32))
+    out = w.tensor((1, 6, 6, 4))
+    w.op(T.CONV_2D, [inp, wt, bias], [out], T.OPT_CONV2D,
+         {"padding": T.PAD_VALID, "stride": (1, 1)})
+    buf = w.finish([inp], [out])
+    with pytest.raises(ValueError, match="bias"):
+        niti_model_from_tflite(buf)
+
+    # branching: one tensor consumed by two ops
+    w = T.TFLiteWriter()
+    inp = w.tensor((1, 8, 8, 3), name="in")
+    o1 = w.tensor((1, 8, 8, 3))
+    o2 = w.tensor((1, 8, 8, 3))
+    o3 = w.tensor((1, 8, 8, 3))
+    w.op(T.RELU, [inp], [o1])
+    w.op(T.RELU, [inp], [o2])
+    w.op(T.ADD, [o1, o2], [o3], T.OPT_ADD, {})
+    buf = w.finish([inp], [o3])
+    with pytest.raises(ValueError, match="branching"):
+        niti_model_from_tflite(buf)
+
+
+def test_tflite_imported_model_trains():
+    """Imported TFLite model plugs straight into the integer train step and
+    the loss decreases (the turnModelToTrainable contract)."""
+    from mandheling_tpu.data import onehot_padded
+    from mandheling_tpu.train import make_train_step
+
+    _, _, buf = _export_lenet()
+    model, params = niti_model_from_tflite(buf)
+    step = jax.jit(make_train_step(model))
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (64, 28, 28, 1)), jnp.float32)
+    labels = rng.integers(0, 10, 64)
+    oh = jnp.asarray(onehot_padded(labels, 10, 12))
+    losses = []
+    for _ in range(8):
+        params, loss = step(params, x, oh)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_tflite_same_padding_and_depthwise_roundtrip():
+    """SAME padding and depthwise layers survive export -> import."""
+    from mandheling_tpu.nn.blocks import GlobalAvgPool, NITIDepthwiseConv2D
+    from mandheling_tpu.nn.layers import NITIConv2D, NITIRelu, SqueezeLogits
+    from mandheling_tpu.nn.module import Sequential
+
+    model = Sequential([
+        NITIConv2D(3, 16, (3, 3), (2, 2), "SAME"),
+        NITIRelu(),
+        NITIDepthwiseConv2D(16, (3, 3), (1, 1), "SAME"),
+        GlobalAvgPool(),
+        NITIConv2D(16, 12, (1, 1)),
+        SqueezeLogits(),
+    ])
+    params = model.init(jax.random.PRNGKey(0))
+    buf = tflite_from_sequential(model, params, (2, 16, 16, 3))
+    m = T.load_tflite(buf)
+    conv = m.ops[0]
+    assert conv.options["padding"] == T.PAD_SAME
+    assert conv.options["stride"] == (2, 2)
+    dw = next(op for op in m.ops if op.name == "DEPTHWISE_CONV_2D")
+    assert dw.options["depth_multiplier"] == 1
+
+    model2, params2 = niti_model_from_tflite(buf)
+    rng = np.random.default_rng(0)
+    x = QTensor(jnp.asarray(rng.integers(-64, 64, (2, 16, 16, 3)), jnp.int8),
+                jnp.int32(-5))
+    y1, _ = model.fwd(params, x)
+    y2, _ = model2.fwd(params2, x)
+    np.testing.assert_array_equal(np.asarray(y1.data), np.asarray(y2.data))

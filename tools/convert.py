@@ -1,14 +1,16 @@
-"""Model converter CLI — import PyTorch or ONNX models into mandheling_tpu.
+"""Model converter CLI — import PyTorch / ONNX / TFLite models.
 
 The analog of the reference's `tools/converter` (MNNConvert: external
 framework model -> .mnn) followed by `transformer.out` turn-trainable
-(SURVEY.md sections 2.9, 2.3). Converts a torch .pt/.pth state_dict or an
-.onnx file of an architecture-matched model into this framework's fp32
-params and saves a checkpoint; `--quantize` additionally emits the NITI
-int8 QTensor tree (the turnModelToTrainable analog, utils/checkpoint.py).
+(SURVEY.md sections 2.9, 2.3). Converts a torch .pt/.pth state_dict, an
+.onnx file, or a .tflite file of an architecture-matched model into this
+framework's fp32 params and saves a checkpoint; `--quantize` additionally
+emits the NITI int8 QTensor tree (the turnModelToTrainable analog,
+utils/checkpoint.py).
 
     python tools/convert.py model.pt --arch lenet_fp32 --out lenet.npz
     python tools/convert.py model.onnx --arch lenet_fp32 --out lenet.npz
+    python tools/convert.py model.tflite --arch lenet_fp32 --out lenet.npz
     python tools/convert.py mbv2.pth --arch mobilenet_v2_fp32 \
         --out mbv2.npz --quantize
 """
@@ -23,7 +25,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("input",
-                    help="torch .pt/.pth (state_dict or module) or .onnx")
+                    help="torch .pt/.pth (state_dict or module), .onnx, "
+                         "or .tflite")
     ap.add_argument("--arch", required=True,
                     choices=["lenet_fp32", "mobilenet_v1_fp32",
                              "mobilenet_v2_fp32"])
@@ -53,6 +56,10 @@ def main():
         from mandheling_tpu.utils.onnx_io import modules_from_onnx
 
         modules = modules_from_onnx(args.input)
+    elif args.input.endswith(".tflite"):
+        from mandheling_tpu.utils.tflite_model import modules_from_tflite
+
+        modules = modules_from_tflite(args.input)
     else:
         modules = modules_from_state_dict(load_torch_file(args.input))
     if args.arch == "lenet_fp32":

@@ -351,6 +351,41 @@ def onnx_import_train(args):
     print(f"final loss: {float(loss):.4f}")
 
 
+@demo("TFLiteImportTrain")
+def tflite_import_train(args):
+    """turnModelToTrainable from TFLite: export a NITI LeNet to a .tflite
+    flatbuffer, re-import it as a trainable NITI model
+    (utils/tflite_model.py), train a few steps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mandheling_tpu.data import onehot_padded
+    from mandheling_tpu.models import lenet_niti
+    from mandheling_tpu.train import make_train_step
+    from mandheling_tpu.utils.tflite_model import (
+        niti_model_from_tflite,
+        tflite_from_sequential,
+    )
+
+    src = lenet_niti()
+    buf = tflite_from_sequential(src, src.init(jax.random.PRNGKey(0)),
+                                 (64, 28, 28, 1))
+    print(f"exported LeNet-NITI as TFLite ({len(buf)} bytes)")
+    model, params = niti_model_from_tflite(buf)
+    print(f"imported {len(model.layers)} NITI layers from TFLite")
+    step = jax.jit(make_train_step(model))
+    (x, y), _ = _data(args.root)
+    for it in range(args.epochs * 16):
+        i0 = (it * 64) % (len(x) - 64)
+        xf = jnp.asarray(x[i0 : i0 + 64].astype(np.float32))
+        oh = jnp.asarray(onehot_padded(y[i0 : i0 + 64], 10, 12))
+        params, loss = step(params, xf, oh)
+        if it % 16 == 0:
+            print(f"iter {it}: loss {float(loss):.4f}")
+    print(f"final loss: {float(loss):.4f}")
+
+
 @demo("NnGradTest")
 def nn_grad_test(args):
     """Gradient correctness check (reference nnGradTest.cpp / DEBUG_GRAD

@@ -25,20 +25,32 @@ LO, HI, ROUNDS = 10, 110, 3
 
 
 def dev_time(fn):
-    @functools.partial(jax.jit, static_argnums=0)
+    """fn(dep_i8_scalar) -> int8 output. The dep argument MUST perturb
+    fn's input: a loop-invariant body gets hoisted out of the while loop
+    by XLA LICM whenever its output is no larger than its inputs, and the
+    'measurement' collapses to the loop overhead (observed: 0.002 ms for
+    a kernel whose output write alone costs 0.02 ms)."""
+
+    @jax.jit
     def run(iters):
-        def body(i, acc):
-            out = fn()
-            return acc + jnp.sum(out[0] if isinstance(out, tuple) else out,
-                                 dtype=jnp.int32)
+        def body(i, carry):
+            dep, acc = carry
+            out = fn(dep)
+            y = out[0] if isinstance(out, tuple) else out
+            return ((y.ravel()[0] & 1).astype(jnp.int8),
+                    acc + jnp.sum(y, dtype=jnp.int32))
 
-        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+        _, acc = jax.lax.fori_loop(
+            0, iters, body, (jnp.zeros((), jnp.int8), jnp.int32(0))
+        )
+        return acc
 
-    np.asarray(run(LO)); np.asarray(run(HI))
+    lo, hi = jnp.int32(LO), jnp.int32(HI)
+    np.asarray(run(lo)); np.asarray(run(hi))
     deltas = []
     for _ in range(ROUNDS):
-        t0 = time.perf_counter(); np.asarray(run(LO))
-        t1 = time.perf_counter(); np.asarray(run(HI))
+        t0 = time.perf_counter(); np.asarray(run(lo))
+        t1 = time.perf_counter(); np.asarray(run(hi))
         t2 = time.perf_counter()
         deltas.append(((t2 - t1) - (t1 - t0)) / (HI - LO))
     return float(np.median(deltas))
@@ -53,17 +65,17 @@ def main():
     B = 2048
     cases = [
         ("conv1_fwd b2048 28x28x1 k5x20",
-         lambda: conv_ops.conv2d_forward(x1, jnp.int32(-5), w1, jnp.int32(-6), (1, 1), "VALID")),
+         lambda d: conv_ops.conv2d_forward(x1 + d, jnp.int32(-5), w1, jnp.int32(-6), (1, 1), "VALID")),
         ("conv2_fwd b2048 12x12x20 k5x52",
-         lambda: conv_ops.conv2d_forward(x2, jnp.int32(-5), w2, jnp.int32(-6), (1, 1), "VALID")),
+         lambda d: conv_ops.conv2d_forward(x2 + d, jnp.int32(-5), w2, jnp.int32(-6), (1, 1), "VALID")),
         ("fc1_fwd b2048 832x500",
-         lambda: conv_ops.conv2d_forward(x3, jnp.int32(-5), w3, jnp.int32(-6), (1, 1), "VALID")),
+         lambda d: conv_ops.conv2d_forward(x3 + d, jnp.int32(-5), w3, jnp.int32(-6), (1, 1), "VALID")),
         ("conv2_igrad",
-         lambda: conv_ops.conv2d_input_grad(g2, w2, (12, 12), (1, 1), "VALID")),
+         lambda d: conv_ops.conv2d_input_grad(g2 + d, w2, (12, 12), (1, 1), "VALID")),
         ("resnetL1_fwd b256 32x32x64 k3x64 SAME",
-         lambda: conv_ops.conv2d_forward(x4, jnp.int32(-5), w4, jnp.int32(-6), (1, 1), "SAME")),
+         lambda d: conv_ops.conv2d_forward(x4 + d, jnp.int32(-5), w4, jnp.int32(-6), (1, 1), "SAME")),
         ("mnv2_pw_fwd b256 16x16x96 -> 64 (1x1)",
-         lambda: conv_ops.conv2d_forward(x5, jnp.int32(-5), w5, jnp.int32(-6), (1, 1), "VALID")),
+         lambda d: conv_ops.conv2d_forward(x5 + d, jnp.int32(-5), w5, jnp.int32(-6), (1, 1), "VALID")),
     ]
     x1, w1 = ri8((B, 28, 28, 1)), ri8((5, 5, 1, 20))
     x2, w2 = ri8((B, 12, 12, 20)), ri8((5, 5, 20, 52))

@@ -28,22 +28,35 @@ LO, HI = 5, 45
 
 
 def dev_time(fn, *args):
-    """Device-loop differential timing of y = fn(*args) (y int8). Non-array
-    args (strides/padding strings) are closed over, not traced."""
+    """Device-loop differential timing of y = fn(x, *args) (y int8).
+
+    The first array argument is perturbed each iteration by a value
+    derived from the previous output — a true loop-carried data
+    dependency. Without it XLA's while-loop LICM hoists bodies whose
+    outputs are no larger than their inputs (measured: a 'kernel' timed
+    at 0.002 ms that cannot physically run under 0.02 ms)."""
+
+    x0 = args[0]
+    rest = args[1:]
 
     @jax.jit
-    def run(iters):
-        def body(i, acc):
-            out = fn(*args)
-            return acc + jnp.sum(out[0] if isinstance(out, tuple) else out,
-                                 dtype=jnp.int32)
+    def run(x0, iters):
+        def body(i, carry):
+            d, acc = carry
+            out = fn(x0 + d, *rest)
+            y = out[0] if isinstance(out, tuple) else out
+            return ((y.ravel()[0] & 1).astype(x0.dtype),
+                    acc + jnp.sum(y, dtype=jnp.int32))
 
-        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+        _, acc = jax.lax.fori_loop(
+            0, iters, body, (jnp.zeros((), x0.dtype), jnp.int32(0))
+        )
+        return acc
 
     lo, hi = jnp.int32(LO), jnp.int32(HI)
-    np.asarray(run(lo)); np.asarray(run(hi))
-    t0 = time.perf_counter(); np.asarray(run(lo))
-    t1 = time.perf_counter(); np.asarray(run(hi))
+    np.asarray(run(x0, lo)); np.asarray(run(x0, hi))
+    t0 = time.perf_counter(); np.asarray(run(x0, lo))
+    t1 = time.perf_counter(); np.asarray(run(x0, hi))
     t2 = time.perf_counter()
     return ((t2 - t1) - (t1 - t0)) / (HI - LO)
 

@@ -12,12 +12,15 @@ optimization_barrier is slower because the conv output is materialized
 regardless).
 
 These kernels do what the hardware wants instead. The conv is decomposed as
-kh *banded matmuls*: the (kw, oc) kernel taps fold into a per-kernel-row
-band matrix B_dy of shape (W_in*ic, OW*oc) with
+ONE K-packed *banded matmul*: each kernel row dy folds its (kw, oc) taps
+into a band matrix B_dy of shape (W_in*ic, OW*oc) with
 B_dy[(owi*sw + dx)*ic + c, owi*oc + o] = w[dy, dx, c, o] (zero elsewhere),
-so acc[(b,oh), (owi,o)] = sum_dy slab_dy @ B_dy, where slab_dy is the dense
-row-slab x_padded[:, dy : dy+(oh-1)*sh+1 : sh, :, :] flattened to
-(B*OH, W_in*ic). The slabs are materialized by XLA (cheap: kh small int8
+and the kh bands are concatenated along the contraction dim — so
+acc[(b,oh), (owi,o)] = slabs @ B where slabs row (b,oh) concatenates the kh
+dy-shifted row-slabs x_padded[:, dy : dy+(oh-1)*sh+1 : sh, :, :] flattened
+to (B*OH, kh*W_in*ic). One large-K MXU dot per tile (K = kh*W_in*ic)
+amortizes the 128-lane contraction padding that kh separate K = W_in*ic
+dots would each pay. The slabs are materialized by XLA (kh small int8
 copies) so the kernels see plain 2D blocks — no in-kernel gather/relayout,
 every matmul lands on the MXU. Arbitrary forward stride (sh, sw) is carried
 by the slab row-stride and the band column placement; strided *input
@@ -71,8 +74,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _build_bands(w: jax.Array, wp: int, ow: int, sw: int) -> jax.Array:
-    """(kh, kw, ic, oc) int8 -> (kh, wp*ic, Np) banded matrices (Np padded
-    to a lane multiple). Built once per step outside the kernel (tiny)."""
+    """(kh, kw, ic, oc) int8 -> (kh*wp*ic, Np) K-packed banded matrix (Np
+    padded to a lane multiple). The kh per-tap bands are concatenated along
+    the contraction dim so the kernel issues ONE large-K MXU dot per tile
+    instead of kh skinny-K dots (K = wp*ic is far below the 128-lane MXU
+    contraction for the narrow-input shapes this kernel targets; packing
+    amortizes the lane padding across taps). Built once per step outside
+    the kernel (tiny)."""
     kh, kw, ic, oc = w.shape
     np_ = _round_up(ow * oc, 128)
     bands = []
@@ -83,47 +91,43 @@ def _build_bands(w: jax.Array, wp: int, ow: int, sw: int) -> jax.Array:
             band = band.at[owi * sw + dx, :, owi, :].set(w[dy, dx][None])
         band = band.reshape(wp * ic, ow * oc)
         bands.append(jnp.pad(band, ((0, 0), (0, np_ - ow * oc))))
-    return jnp.stack(bands)
+    return jnp.concatenate(bands, axis=0)
 
 
 def _build_slabs(
     xp: jax.Array, kh: int, oh: int, sh: int, rows_p: int
 ) -> jax.Array:
-    """Padded NHWC x -> (kh, rows_p, W_in*ic) int8 dense row-slabs (row
+    """Padded NHWC x -> (rows_p, kh*W_in*ic) int8 K-packed row-slabs (row
     stride sh carries the forward H-stride; rows zero-padded from B*OH up
     to rows_p for (8, 128) tile legality — zero rows cannot raise the
-    |acc| max and their outputs are sliced off)."""
+    |acc| max and their outputs are sliced off). Column band dy holds the
+    dy-shifted row-slab, matching `_build_bands`' K packing."""
     b, hp, wp, ic = xp.shape
     slabs = jnp.stack(
         [
             xp[:, dy : dy + (oh - 1) * sh + 1 : sh].reshape(b * oh, wp * ic)
             for dy in range(kh)
-        ]
-    )
-    return jnp.pad(slabs, ((0, 0), (0, rows_p - b * oh), (0, 0)))
+        ],
+        axis=1,
+    ).reshape(b * oh, kh * wp * ic)
+    return jnp.pad(slabs, ((0, rows_p - b * oh), (0, 0)))
 
 
-def _acc_into(acc_ref, s_refs, b_ref, kh: int):
+def _acc_into(acc_ref, s_refs, b_ref):
     acc_ref[:] = jax.lax.dot_general(
-        s_refs[0], b_ref[0],
+        s_refs[:], b_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    for dy in range(1, kh):
-        acc_ref[:] += jax.lax.dot_general(
-            s_refs[dy], b_ref[dy],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
 
 
-def _max_kernel(s_refs, b_ref, m_ref, acc_ref, *, kh):
+def _max_kernel(s_refs, b_ref, m_ref, acc_ref):
     # per-(j, i) tile max into its own cell of one full-array SMEM output
     # block (Mosaic rejects sub-blocked scalar outputs: block dims must be
     # (8, 128)-divisible or equal the array dims). Each tile owns a
     # distinct cell — no read-modify-write; the tiny (nj, ni) maxima
     # reduce outside the kernel.
-    _acc_into(acc_ref, s_refs, b_ref, kh)
+    _acc_into(acc_ref, s_refs, b_ref)
     m_ref[pl.program_id(0), pl.program_id(1)] = jnp.max(jnp.abs(acc_ref[:]))
 
 
@@ -135,9 +139,8 @@ def _fwd_epilogue(acc, shift):
     return jnp.where(shift > 0, shifted, plain).astype(jnp.int8)
 
 
-def _requant_kernel(shift_ref, s_refs, b_ref, y_ref, acc_ref, *, kh, bn,
-                    grad):
-    _acc_into(acc_ref, s_refs, b_ref, kh)
+def _requant_kernel(shift_ref, s_refs, b_ref, y_ref, acc_ref, *, bn, grad):
+    _acc_into(acc_ref, s_refs, b_ref)
     shift = shift_ref[0]
     # chunked epilogue: bounds the live int32 temporaries of the psto bit
     # math to (rows, _EPI_CHUNK) each
@@ -215,11 +218,12 @@ def _prep(x, w, padding, stride):
 
 def _grid_specs(kh, kp, np_, bn, r):
     """(in_specs, scratch) shared by both phases: column blocks outermost
-    so each band block stays VMEM-resident while slabs stream."""
+    so each K-packed band block stays VMEM-resident while slabs stream."""
+    kk = kh * kp
     in_specs = [
-        pl.BlockSpec((kh, r, kp), lambda j, i: (0, i, 0),
+        pl.BlockSpec((r, kk), lambda j, i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((kh, kp, bn), lambda j, i: (0, 0, j),
+        pl.BlockSpec((kk, bn), lambda j, i: (0, j),
                      memory_space=pltpu.VMEM),
     ]
     scratch = [pltpu.VMEM((r, bn), jnp.int32)]
@@ -244,7 +248,7 @@ def conv_max_pallas(
     )
     in_specs, scratch = _grid_specs(kh, kp, np_, bn, r)
     m = pl.pallas_call(
-        functools.partial(_max_kernel, kh=kh),
+        _max_kernel,
         out_shape=jax.ShapeDtypeStruct((np_ // bn, rows_p // r), jnp.int32),
         grid=(np_ // bn, rows_p // r),
         in_specs=in_specs,
@@ -281,7 +285,7 @@ def conv_requant_pallas(
     )
     in_specs, scratch = _grid_specs(kh, kp, np_, bn, r)
     y = pl.pallas_call(
-        functools.partial(_requant_kernel, kh=kh, bn=bn, grad=grad),
+        functools.partial(_requant_kernel, bn=bn, grad=grad),
         out_shape=jax.ShapeDtypeStruct((rows_p, ow * oc), jnp.int8),
         grid=(np_ // bn, rows_p // r),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs,

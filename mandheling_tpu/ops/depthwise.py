@@ -18,7 +18,41 @@ import jax
 import jax.numpy as jnp
 
 from . import numerics
-from .conv import _maybe_pmax, resolve_padding
+from .conv import _fused_enabled, _maybe_pmax, resolve_padding
+
+
+def _fused_dw_requant(
+    x: jax.Array,
+    w: jax.Array,
+    stride: Tuple[int, int],
+    pad: Tuple[Tuple[int, int], Tuple[int, int]],
+    axis_name: Optional[str],
+    interpret: bool,
+    grad: bool,
+) -> Optional[Tuple[jax.Array, jax.Array]]:
+    """Two-phase fused Pallas depthwise conv (int32 accumulator never in
+    HBM) — stride-1 only; strided callers pre-dilate (input grads) or fall
+    back. Returns (int8 y, eff_shift) or None if unsupported."""
+    from .conv import get_fused_conv_mode
+    from .kernels import fused_dwconv_int8 as _fdw
+
+    if get_fused_conv_mode() == "off" or tuple(stride) != (1, 1):
+        return None
+    kh, kw, _, c = w.shape
+    xp = jnp.pad(x, ((0, 0), pad[0], pad[1], (0, 0)))
+    b, hp, wp, _ = xp.shape
+    oh, ow = hp - kh + 1, wp - kw + 1
+    if not _fdw.supports(b, hp, wp, oh, ow, c):
+        return None
+    m = _maybe_pmax(
+        _fdw.dwconv_max_pallas(xp, w, (kh, kw), interpret=interpret),
+        axis_name,
+    )
+    eff_shift = numerics.forward_shift(numerics.range_estimate_from_max(m))
+    y = _fdw.dwconv_requant_pallas(
+        xp, w, eff_shift, (kh, kw), grad=grad, interpret=interpret
+    )
+    return y, eff_shift
 
 
 def dwconv2d_int8_acc(
@@ -49,10 +83,19 @@ def dwconv2d_forward(
     padding="SAME",
     axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
+    exp_in = x_exp.astype(jnp.int32) + w_exp.astype(jnp.int32)
+    interpret = _fused_enabled()
+    if interpret is not None:
+        pad = resolve_padding(padding, w.shape[:2], stride, x.shape[1:3])
+        fused = _fused_dw_requant(
+            x, w, tuple(stride), pad, axis_name, interpret, grad=False
+        )
+        if fused is not None:
+            y, eff_shift = fused
+            return y, exp_in + eff_shift
     acc = dwconv2d_int8_acc(x, w, stride, padding)
     m = _maybe_pmax(jnp.max(jnp.abs(acc)), axis_name)
     bw = numerics.range_estimate_from_max(m)
-    exp_in = x_exp.astype(jnp.int32) + w_exp.astype(jnp.int32)
     return numerics.requant_forward_from_bw(acc, exp_in, bw)
 
 
@@ -77,6 +120,21 @@ def dwconv2d_input_grad(
     dil_w = (ow - 1) * sw + 1
     pad_bottom = ih - dil_h - pad_top + kh - 1
     pad_right = iw - dil_w - pad_left + kw - 1
+    interpret = _fused_enabled()
+    if interpret is not None and min(pad_top, pad_left, pad_bottom,
+                                     pad_right) >= 0:
+        gy_d = gy
+        if (sh, sw) != (1, 1):
+            gy_d = jnp.zeros(
+                (gy.shape[0], dil_h, dil_w, gy.shape[3]), gy.dtype
+            ).at[:, ::sh, ::sw, :].set(gy)
+        fused = _fused_dw_requant(
+            gy_d, w_rot, (1, 1),
+            ((pad_top, pad_bottom), (pad_left, pad_right)),
+            axis_name, interpret, grad=False,
+        )
+        if fused is not None:
+            return fused[0]
     acc = jax.lax.conv_general_dilated(
         gy,
         w_rot,
@@ -110,6 +168,20 @@ def dwconv2d_filter_grad(
     xp = jnp.pad(x, ((0, 0), pad[0], pad[1], (0, 0)))
     b, ih, iw, c = xp.shape
     oh, ow = gy.shape[1], gy.shape[2]
+    interpret = _fused_enabled()
+    if interpret is not None:
+        from .conv import get_fused_conv_mode
+        from . import allreduce
+        from .kernels import fused_dwconv_int8 as _fdw
+
+        if get_fused_conv_mode() != "off":
+            acc = _fdw.dwconv_fgrad_acc_pallas(
+                xp, gy, (kh, kw), tuple(stride), interpret=interpret
+            )
+            if acc is not None:
+                return allreduce.grad_allreduce_requant(
+                    acc, axis_name, margin=2
+                )
     gy32 = gy.astype(jnp.int32)
     cols = []
     for dy in range(kh):

@@ -95,15 +95,124 @@ def _tiles(m: int, k: int, n: int) -> Tuple[int, int, int]:
     return tm, tn, tk
 
 
+# ---- small-K/N path: full-K full-N blocks, grid over M only -------------
+#
+# Block dims equal to the array dims are always legal, so K and N need no
+# HBM padding (Mosaic lane-pads inside VMEM for free), there is no output
+# slice-copy, and B stays VMEM-resident across the whole grid. This is the
+# shape class of MobileNet pointwise convs (K=24..576, N=24..576, M=b*h*w).
+
+
+def _small_tm(m: int, k: int, n: int) -> int:
+    tm = min(512, m)
+    tm -= tm % 8
+    while m % tm:
+        tm -= 8
+    return tm
+
+
+def _small_max_kernel(a_ref, b_ref, m_ref, acc_ref):
+    acc_ref[:] = jax.lax.dot_general(
+        a_ref[:], b_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    m_ref[pl.program_id(0), 0] = jnp.max(jnp.abs(acc_ref[:]))
+
+
+def _small_requant_kernel(shift_ref, a_ref, b_ref, y_ref, acc_ref, *, n,
+                          grad):
+    acc_ref[:] = jax.lax.dot_general(
+        a_ref[:], b_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    shift = shift_ref[0]
+    for c0 in range(0, n, _EPI_CHUNK):
+        c1 = min(c0 + _EPI_CHUNK, n)
+        acc = acc_ref[:, c0:c1]
+        if grad:
+            out = numerics.psto_round(acc, shift).astype(jnp.int8)
+        else:
+            shifted = numerics.psto_round(acc, shift)
+            plain = acc.astype(jnp.int8).astype(jnp.int32)
+            out = jnp.where(shift > 0, shifted, plain).astype(jnp.int8)
+        y_ref[:, c0:c1] = out
+
+
+def _small_specs(m, k, n):
+    tm = _small_tm(m, k, n)
+    in_specs = [
+        pl.BlockSpec((tm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    scratch = [pltpu.VMEM((tm, n), jnp.int32)]
+    return tm, in_specs, scratch
+
+
+def _small_max(a, b, interpret):
+    m, k = a.shape
+    n = b.shape[1]
+    tm, in_specs, scratch = _small_specs(m, k, n)
+    out = pl.pallas_call(
+        _small_max_kernel,
+        out_shape=jax.ShapeDtypeStruct((m // tm, 1), jnp.int32),
+        grid=(m // tm,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((m // tm, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(a, b)
+    return jnp.max(out)
+
+
+def _small_requant(a, b, shift, grad, interpret):
+    m, k = a.shape
+    n = b.shape[1]
+    tm, in_specs, scratch = _small_specs(m, k, n)
+    return pl.pallas_call(
+        functools.partial(_small_requant_kernel, n=n, grad=grad),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.int8),
+        grid=(m // tm,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs,
+        out_specs=pl.BlockSpec((tm, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(shift.reshape(1).astype(jnp.int32), a, b)
+
+
+_SMALL_KN = 512
+_MIN_ACC_BYTES = 2 * 2**20
+
+
 def supports(m: int, k: int, n: int) -> bool:
-    """Eligibility from TPU v5e measurements
-    (tools/probes/fused_decision_probe.py): the two-phase fusion wins when
-    the avoided int32-accumulator traffic dominates — large K (the A-read
-    amortizes) and N >= a full lane tile (no padding inflation on B/out).
-    Measured: (m=2048, k=832, n=500) fused 0.007 ms vs XLA 0.022 ms;
-    (m=65536, k=96, n=64) fused 0.129 ms vs XLA 0.095 ms — hence the
-    k >= 256, n >= 128 floors."""
-    return k >= 256 and n >= 128 and m >= 128
+    """Eligibility from hoist-proof TPU v5e measurements (dep-threaded
+    device loops; the earlier floors here were set from loop-invariant
+    timings that XLA LICM had hoisted — see fused_decision_probe.dev_time).
+
+    Only the UNPADDED small-K/N path wins: full-K/full-N blocks, grid over
+    M only, no HBM padding of A/B and no output slice-copy. The padded
+    tiled path loses everywhere it was measured ((262144, 24, 144): padded
+    0.79 ms vs XLA 0.47 ms — the K 24->128 HBM pad write plus the y
+    slice-copy exceed the avoided accumulator traffic; (2048, 832, 500):
+    padded 0.023 ms vs XLA 0.018 ms). The win scales with the avoided
+    3-pass int32 accumulator, so small outputs (< ~2 MB acc) stay on XLA
+    where two extra kernel launches cost more than they save."""
+    return (
+        k <= _SMALL_KN
+        and n <= _SMALL_KN
+        and m % 8 == 0
+        and m >= 1024
+        and 4 * m * n >= _MIN_ACC_BYTES
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -114,6 +223,8 @@ def matmul_max_pallas(
     m, k = a.shape
     k2, n = b.shape
     assert k == k2
+    if k <= _SMALL_KN and n <= _SMALL_KN and m % 8 == 0:
+        return _small_max(a, b, interpret)
     tm, tn, tk = _tiles(m, k, n)
     mp, np_, kp = _round_up(m, tm), _round_up(n, tn), _round_up(k, tk)
     a_p = jnp.pad(a, ((0, mp - m), (0, kp - k)))
@@ -159,6 +270,8 @@ def matmul_requant_pallas(
     m, k = a.shape
     k2, n = b.shape
     assert k == k2
+    if k <= _SMALL_KN and n <= _SMALL_KN and m % 8 == 0:
+        return _small_requant(a, b, shift, grad, interpret)
     tm, tn, tk = _tiles(m, k, n)
     mp, np_, kp = _round_up(m, tm), _round_up(n, tn), _round_up(k, tk)
     a_p = jnp.pad(a, ((0, mp - m), (0, kp - k)))

@@ -194,3 +194,61 @@ def test_backend_switch_end_to_end():
         y_p, e_p = conv_ops.conv2d_forward(x, jnp.int32(-5), w, jnp.int32(-6))
     np.testing.assert_array_equal(np.asarray(y_xla), np.asarray(y_p))
     assert int(e_xla) == int(e_p)
+
+
+def test_fused_small_kn_matmul_parity():
+    """Unpadded small-K/N fused matmul path (MobileNet pointwise shapes)
+    vs the unfused dot + numerics path, max and requant, grad and fwd."""
+    from mandheling_tpu.ops import numerics
+    from mandheling_tpu.ops.kernels.fused_matmul_int8 import (
+        matmul_max_pallas,
+        matmul_requant_pallas,
+    )
+
+    rng = np.random.default_rng(11)
+    for m, k, n in [(1024, 24, 144), (512, 144, 24), (256, 96, 576)]:
+        a = jnp.asarray(rand_int8(rng, (m, k)))
+        b = jnp.asarray(rand_int8(rng, (k, n)))
+        acc = jnp.dot(a.astype(jnp.int32), b.astype(jnp.int32))
+        mx = matmul_max_pallas(a, b, interpret=True)
+        assert int(mx) == int(jnp.max(jnp.abs(acc))), (m, k, n)
+        bw = numerics.range_estimate_from_max(mx)
+        shift = numerics.forward_shift(bw)
+        expected, _ = numerics.requant_forward_from_bw(acc, jnp.int32(0), bw)
+        got = matmul_requant_pallas(a, b, shift, grad=False, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+        got_g = matmul_requant_pallas(a, b, jnp.int32(3), grad=True,
+                                      interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(got_g),
+            np.asarray(numerics.psto_shift_int8(acc, jnp.int32(3))),
+        )
+
+
+@pytest.mark.parametrize("stride", [(1, 1), (2, 2)])
+def test_fused_depthwise_parity(stride):
+    """Fused two-phase depthwise conv (fwd, igrad, fgrad) bit-identical to
+    the unfused XLA path; strided fwd falls back, strided igrad dilates."""
+    from mandheling_tpu.ops import depthwise as dw_ops
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rand_int8(rng, (4, 16, 16, 24)))
+    w = jnp.asarray(rand_int8(rng, (3, 3, 1, 24)))
+    y0, e0 = dw_ops.dwconv2d_forward(x, jnp.int32(-5), w, jnp.int32(-6),
+                                     stride, "SAME")
+    with use_backend("pallas_interpret"):
+        y1, e1 = dw_ops.dwconv2d_forward(x, jnp.int32(-5), w, jnp.int32(-6),
+                                         stride, "SAME")
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    assert int(e0) == int(e1)
+
+    gy = jnp.asarray(rand_int8(rng, np.asarray(y0).shape))
+    g0 = dw_ops.dwconv2d_input_grad(gy, w, (16, 16), stride, "SAME")
+    with use_backend("pallas_interpret"):
+        g1 = dw_ops.dwconv2d_input_grad(gy, w, (16, 16), stride, "SAME")
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+
+    f0 = dw_ops.dwconv2d_filter_grad(x, gy, (3, 3), stride, "SAME")
+    with use_backend("pallas_interpret"):
+        f1 = dw_ops.dwconv2d_filter_grad(x, gy, (3, 3), stride, "SAME")
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))

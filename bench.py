@@ -41,11 +41,13 @@ ITERS_HI = 210
 ROUNDS = 3
 TIME_BUDGET_S = 780  # leave headroom under the driver's timeout
 
-# measured on TPU v5e (tools/probes/backend_compare.py, round 2): the XLA
-# backend wins every model-zoo shape at these sizes — the fused Pallas
-# path's two-phase recompute + banded structural waste exceeds the 3-pass
-# int32 HBM cost it avoids. Recorded as a finding; per-shape flips go here
-# as kernels improve.
+# measured on TPU v5e (tools/probes/backend_compare.py, round 2,
+# hoist-proof loop-carried timing): XLA wins every model-zoo train step —
+# lenet b2048 1.60M vs 1.57M samples/s, mobilenet_v2 b256 9527 vs 5502,
+# resnet18 b256 32962 vs 3020. The fused Pallas paths' two-phase recompute
+# + structural waste (banded) / per-grid-step overhead exceed the 3-pass
+# int32 HBM cost they avoid. Recorded as a finding; per-shape flips go
+# here as kernels improve.
 _BACKEND_CHOICE = {
     "lenet": os.environ.get("BENCH_BACKEND", "xla"),
     "mobilenet_v2": os.environ.get("BENCH_BACKEND", "xla"),

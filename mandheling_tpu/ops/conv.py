@@ -134,16 +134,22 @@ def _fused_enabled() -> Optional[bool]:
     return backend == "pallas_interpret"
 
 
-# Fused-conv kernel selection under the Pallas backends. Measured on TPU
-# v5e (tools/probes/fused_decision_probe.py, median-of-rounds device-loop):
-#   fc1_fwd  832x500 b2048: fused matmul 0.007 ms vs XLA 0.022 ms (3x WIN)
-#   conv2_fwd 5x5 20->52:   banded 0.299 ms vs XLA 0.060 ms (5x loss)
-#   resnetL1 3x3 64->64:    banded 1.653 ms vs XLA 0.365 ms (4.5x loss)
-# The banded form's structural zeros (W_in/kw wasted MXU flops) x the
-# two-phase recompute exceed the 3-pass int32 HBM cost it avoids, so
-# "matmul_only" (large 1x1/FC through the fused two-phase matmul, spatial
-# convs through XLA) is the measured-best default; "all" (banded spatial
-# convs too) stays available for parity tests and future kernel work.
+# Fused-conv kernel selection under the Pallas backends. Hoist-proof
+# dep-threaded measurements on TPU v5e, round 2 (earlier numbers here were
+# loop-invariant timings that XLA LICM had hoisted — see
+# fused_decision_probe.dev_time):
+#   pw 1x1 24->144 b256 32x32: fused small-KN 0.66 ms vs XLA 0.48 ms
+#   fc1 832x500 b2048:         fused padded   0.023 ms vs XLA 0.018 ms
+#   conv1 5x5 1->20 b2048:     banded 0.74 ms vs XLA 0.29 ms
+#   rn 3x3 64->64 b256 SAME:   banded 2.26 ms vs XLA 0.18 ms
+#   dw 3x3 144 b256 32x32:     fused dw 2.42 ms vs XLA 0.57 ms
+# NEGATIVE RESULT, recorded: XLA's conv/dot + fused consumer reductions
+# beat every two-phase Pallas fusion tried on these model-zoo shapes — the
+# recompute + structural waste (banded) or per-grid-step overhead (small
+# matmul) exceeds the 3-pass int32 accumulator traffic the fusion avoids.
+# The kernels stay as bit-exact, strided-capable opt-in paths (the
+# supernode shift-on-accelerator analog) behind this mode switch; the
+# measured default backend is "xla" everywhere (bench.py table).
 _FUSED_CONV_MODE = "matmul_only"
 _FC_VALID = ("off", "matmul_only", "all")
 

@@ -168,20 +168,12 @@ def dwconv2d_filter_grad(
     xp = jnp.pad(x, ((0, 0), pad[0], pad[1], (0, 0)))
     b, ih, iw, c = xp.shape
     oh, ow = gy.shape[1], gy.shape[2]
-    interpret = _fused_enabled()
-    if interpret is not None:
-        from .conv import get_fused_conv_mode
-        from . import allreduce
-        from .kernels import fused_dwconv_int8 as _fdw
-
-        if get_fused_conv_mode() != "off":
-            acc = _fdw.dwconv_fgrad_acc_pallas(
-                xp, gy, (kh, kw), tuple(stride), interpret=interpret
-            )
-            if acc is not None:
-                return allreduce.grad_allreduce_requant(
-                    acc, axis_name, margin=2
-                )
+    # NOTE: a fused Pallas filter-grad kernel exists
+    # (kernels/fused_dwconv_int8.dwconv_fgrad_acc_pallas) but is NOT routed:
+    # measured on TPU v5e it runs 1.24 ms vs 0.28 ms for this XLA einsum at
+    # (256, 32, 32, 144) — the 9 sequential cross-sublane reductions beat
+    # the accumulator traffic they avoid. Negative result, kept for the
+    # record.
     gy32 = gy.astype(jnp.int32)
     cols = []
     for dy in range(kh):

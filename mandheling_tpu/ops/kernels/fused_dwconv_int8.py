@@ -24,6 +24,14 @@ The DSP analog is the modified supernode computing the requant shift
 on-accelerator (niti_op_supernode_new.c:4630-6094); depthwise itself is
 absent from the reference's NITI op set (its MobileNet demos are fp32), so
 the numerics contract here follows the dense NITI conv rules.
+
+MEASURED RESULT (TPU v5e, hoist-proof dep-threaded loops): these kernels
+are bit-identical to the XLA path but LOSE on time — fwd/igrad 2.42 ms vs
+XLA 0.57/0.53 ms at (256, 32, 32, 144); the serial 9-tap int32 VPU loop
+with lane padding (144 -> 256) costs more than the 3-pass accumulator
+traffic it avoids, and XLA's grouped conv + fused consumers are strong.
+They remain the Pallas-backend implementation (opt-in, parity-tested);
+the measured default backend is "xla".
 """
 
 from __future__ import annotations
@@ -39,7 +47,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import numerics
 
 _EPI_ROWS = 8           # epilogue chunk along the OH axis
-_VMEM_BUDGET = 10 * 2**20
+# Mosaic double-buffers the x/y blocks on top of the scoped scratch, and
+# the scoped-vmem stack limit is 16 MB: a 10 MB budget OOM'd at
+# (256, 34, 34, 96) (16.6 MB allocated), 6 MB leaves pipelining headroom.
+_VMEM_BUDGET = 6 * 2**20
 
 
 def _round_up(x: int, m: int) -> int:

@@ -36,6 +36,20 @@ CIFAR_PLAN = [
 ]
 
 
+# ImageNet-224 MobileNetV2 plan (the geometry of the reference's headline
+# benchmark model MobileNetV2_224, `benchmark/result/2020-3-22.md:14-17`):
+# stem stride 2, standard stage strides.
+IMAGENET_PLAN = [
+    (1, 16, 1, 1),
+    (6, 24, 2, 2),
+    (6, 32, 3, 2),
+    (6, 64, 4, 2),
+    (6, 96, 3, 1),
+    (6, 160, 3, 2),
+    (6, 320, 1, 1),
+]
+
+
 def _bottleneck(in_c: int, out_c: int, expansion: int, stride: int) -> NITILayer:
     mid = in_c * expansion
     layers: List[NITILayer] = []
@@ -56,19 +70,25 @@ class _SeqFlatten(Sequential):
     pass
 
 
-def mobilenet_v2_niti(num_classes: int = 10, width_mult: float = 1.0) -> Sequential:
-    """NITI int8 MobileNetV2-CIFAR. Logit channels padded to a multiple of
-    4 like the reference pads NITI channels (mnistTrain.cpp:137-152)."""
+def mobilenet_v2_niti(
+    num_classes: int = 10, width_mult: float = 1.0, variant: str = "cifar"
+) -> Sequential:
+    """NITI int8 MobileNetV2. Logit channels padded to a multiple of
+    4 like the reference pads NITI channels (mnistTrain.cpp:137-152).
+    variant="cifar" (32x32, stride plan 1-1-2-2-2) or "imagenet" (224x224,
+    stem stride 2 + standard strides — the reference benchmark geometry)."""
 
     def c(ch):
         return max(4, int(ch * width_mult) // 4 * 4)
 
+    stem_stride = 2 if variant == "imagenet" else 1
+    plan = IMAGENET_PLAN if variant == "imagenet" else CIFAR_PLAN
     layers: List[NITILayer] = [
-        NITIConv2D(3, c(32), (3, 3), (1, 1), "SAME"),
+        NITIConv2D(3, c(32), (3, 3), (stem_stride, stem_stride), "SAME"),
         NITIRelu(),
     ]
     in_c = c(32)
-    for expansion, out_c, n, stride in CIFAR_PLAN:
+    for expansion, out_c, n, stride in plan:
         out_c = c(out_c)
         for i in range(n):
             s = stride if i == 0 else 1
@@ -108,18 +128,39 @@ V1_CIFAR_PLAN = [
 ]
 
 
-def mobilenet_v1_niti(num_classes: int = 10, width_mult: float = 1.0) -> Sequential:
-    """NITI int8 MobileNetV1-CIFAR: depthwise 3x3 + pointwise 1x1 pairs."""
+# ImageNet-224 MobileNetV1 plan (mobilenet-v1-1.0 in the reference benchmark
+# table, `benchmark/result/2020-3-22.md:18-21`): stem stride 2, standard
+# depthwise strides.
+V1_IMAGENET_PLAN = [
+    (64, 1),
+    (128, 2),
+    (128, 1),
+    (256, 2),
+    (256, 1),
+    (512, 2),
+    (512, 1), (512, 1), (512, 1), (512, 1), (512, 1),
+    (1024, 2),
+    (1024, 1),
+]
+
+
+def mobilenet_v1_niti(
+    num_classes: int = 10, width_mult: float = 1.0, variant: str = "cifar"
+) -> Sequential:
+    """NITI int8 MobileNetV1: depthwise 3x3 + pointwise 1x1 pairs.
+    variant="cifar" or "imagenet" (see mobilenet_v2_niti)."""
 
     def c(ch):
         return max(4, int(ch * width_mult) // 4 * 4)
 
+    stem_stride = 2 if variant == "imagenet" else 1
+    plan = V1_IMAGENET_PLAN if variant == "imagenet" else V1_CIFAR_PLAN
     layers: List[NITILayer] = [
-        NITIConv2D(3, c(32), (3, 3), (1, 1), "SAME"),
+        NITIConv2D(3, c(32), (3, 3), (stem_stride, stem_stride), "SAME"),
         NITIRelu(),
     ]
     in_c = c(32)
-    for out_c, stride in V1_CIFAR_PLAN:
+    for out_c, stride in plan:
         out_c = c(out_c)
         layers += [
             NITIDepthwiseConv2D(in_c, (3, 3), (stride, stride), "SAME"),

@@ -90,3 +90,68 @@ def resnet18_niti(num_classes: int = 10) -> Sequential:
 
 
 RESNET18_NITI_LOGITS = 12
+
+
+def _bottleneck_v2(in_c: int, mid_c: int, stride: int) -> List[NITILayer]:
+    """Pre-activation bottleneck (ResNet v2, He et al. 2016) in NITI form.
+
+    resnet-v2-50 is the reference's headline benchmark model
+    (`execution-engine/benchmark/result/2020-3-22.md:1-13`: avg 40.19 ms
+    forward on Kirin 990 CPU fp16). NITI has no batch norm (integer-only;
+    the per-tensor power-of-two rescaling plays the normalization role), so
+    v2's BN-ReLU pre-activation reduces to a ReLU pre-activation:
+
+    - shape-changing blocks: a shared pre-activation ReLU feeds BOTH the
+      residual branch and the 1x1 strided projection (v2 projects from the
+      pre-activated tensor) — expressed as `[NITIRelu(),
+      ProjectedResidualBlock(branch, proj)]`;
+    - identity blocks: the skip carries the UN-activated input (v2's
+      identity shortcut bypasses pre-activation) — expressed as
+      `ResidualBlock(Sequential([relu, ...]))`.
+    """
+    out_c = 4 * mid_c
+    core = [
+        NITIConv2D(in_c, mid_c, (1, 1)),
+        NITIRelu(),
+        NITIConv2D(mid_c, mid_c, (3, 3), (stride, stride), "SAME"),
+        NITIRelu(),
+        NITIConv2D(mid_c, out_c, (1, 1)),
+    ]
+    if stride == 1 and in_c == out_c:
+        from ..nn.blocks import ResidualBlock
+
+        return [ResidualBlock(Sequential([NITIRelu()] + core))]
+    return [
+        NITIRelu(),
+        ProjectedResidualBlock(
+            Sequential(core), NITIConv2D(in_c, out_c, (1, 1), (stride, stride))
+        ),
+    ]
+
+
+def resnet50v2_niti(num_classes: int = 1000) -> Sequential:
+    """ResNet-v2-50 for 224x224x3 ImageNet-scale inputs: 7x7/2 stem +
+    3x3/2 maxpool, stages [3,4,6,3] of pre-activation bottlenecks
+    (64-128-256-512 mid-channels, expansion 4), final ReLU, global average
+    pool, 1x1 classifier. Fully convolutional down to the pool, so it also
+    runs at CIFAR scale."""
+    from ..nn.layers import NITIMaxPool
+
+    layers: List[NITILayer] = [
+        NITIConv2D(3, 64, (7, 7), (2, 2), "SAME"),
+        NITIMaxPool((3, 3), (2, 2)),
+    ]
+    in_c = 64
+    for mid_c, blocks, stride in [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)]:
+        for i in range(blocks):
+            s = stride if i == 0 else 1
+            layers += _bottleneck_v2(in_c, mid_c, s)
+            in_c = 4 * mid_c
+    logit_width = (num_classes + 3) // 4 * 4
+    layers += [
+        NITIRelu(),
+        GlobalAvgPool(),
+        NITIConv2D(in_c, logit_width, (1, 1)),
+        SqueezeLogits(),
+    ]
+    return Sequential(layers)

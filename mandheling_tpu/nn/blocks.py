@@ -10,7 +10,7 @@ exactly how the reference's OpGrad accumulates multi-consumer gradients
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,18 +60,31 @@ class NITIDepthwiseConv2D(NITILayer):
 
 
 class NITIAvgPool(NITILayer):
-    def __init__(self, window=(2, 2), stride=None):
+    """int8 average pool. `pad` > 0 pre-pads the input with zeros on each
+    spatial side before a VALID pool (SAME-with-zero-counting semantics,
+    count_include_pad=True — the divisor is always |window|); used by the
+    Inception pooling branches (3x3 stride-1 pad-1)."""
+
+    def __init__(self, window=(2, 2), stride=None, pad: int = 0):
         self.window = tuple(window)
         self.stride = tuple(stride) if stride else tuple(window)
+        self.pad = int(pad)
 
     def fwd(self, params, q: QTensor, axis_name=None):
-        y, e = dw_ops.avgpool2d_int8(q.data, q.exp, self.window, self.stride)
-        return QTensor(y, e), q.data.shape
+        x = q.data
+        if self.pad:
+            x = elt_ops.pad_int8(x, self.pad)
+        y, e = dw_ops.avgpool2d_int8(x, q.exp, self.window, self.stride)
+        return QTensor(y, e), x.shape
 
     def bwd(self, params, res, gy, axis_name=None):
         shape = res
-        return dw_ops.avgpool2d_grad(gy, (shape[1], shape[2]), self.window,
-                                     self.stride), ()
+        gx = dw_ops.avgpool2d_grad(gy, (shape[1], shape[2]), self.window,
+                                   self.stride)
+        if self.pad:
+            p = self.pad
+            gx = gx[:, p:-p, p:-p, :]
+        return gx, ()
 
 
 class GlobalAvgPool(NITILayer):
@@ -88,6 +101,49 @@ class GlobalAvgPool(NITILayer):
         g = jax.lax.div(gy.astype(jnp.int32), jnp.int32(h * w))
         gx = jnp.broadcast_to(g, (b, h, w, c))
         return int8_clip(gx).astype(jnp.int8), ()
+
+
+class ParallelConcat(NITILayer):
+    """Run N branches on the same input and concat their outputs on the
+    channel axis (exponent-aligned, ops/eltwise.concat_int8). The building
+    block for SqueezeNet Fire modules and Inception modules — the multi-
+    branch models of the reference's headline benchmark table
+    (`execution-engine/benchmark/result/2020-3-22.md:14-29`).
+
+    Backward: concat's gradient is a channel split — each branch receives
+    its own slice of the output diff unchanged (the NOP-grad convention,
+    `grad/NITI_DSPBinaryGrad.cpp:27-32`); the branches' input gradients are
+    accumulated with the clipped int8 add, exactly how the reference's
+    OpGrad accumulates multi-consumer gradients (grad/OpGrad.cpp:64-128)."""
+
+    def __init__(self, branches: Sequence):
+        self.branches = list(branches)
+
+    def init(self, key):
+        keys = jax.random.split(key, len(self.branches))
+        return [b.init(k) for b, k in zip(self.branches, keys)]
+
+    def fwd(self, params, q: QTensor, axis_name=None):
+        outs, ress = [], []
+        for branch, p in zip(self.branches, params):
+            out, r = branch.fwd(p, q, axis_name)
+            outs.append(out)
+            ress.append(r)
+        y, e = elt_ops.concat_int8([o.data for o in outs], [o.exp for o in outs])
+        sizes = tuple(o.data.shape[-1] for o in outs)
+        return QTensor(y, e), (ress, sizes)
+
+    def bwd(self, params, res, gy, axis_name=None):
+        ress, sizes = res
+        gx = None
+        grads = []
+        off = 0
+        for branch, p, r, c in zip(self.branches, params, ress, sizes):
+            g_in, g_p = branch.bwd(p, r, gy[..., off : off + c], axis_name)
+            grads.append(g_p)
+            gx = g_in if gx is None else _accum_grads(gx, g_in)
+            off += c
+        return gx, grads
 
 
 class ResidualBlock(NITILayer):

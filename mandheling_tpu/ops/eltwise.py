@@ -39,3 +39,26 @@ def add_int8(
 def pad_int8(x: jax.Array, pad: int) -> jax.Array:
     """Symmetric spatial zero-pad of an NHWC int8 tensor (NITI_PAD_Int8)."""
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+
+
+def concat_int8(datas, exps) -> Tuple[jax.Array, jax.Array]:
+    """Exponent-aligned channel concat of N int8 branches -> (int8, exp_out).
+
+    Multi-branch topologies (SqueezeNet Fire, Inception modules — the models
+    of the reference's headline benchmark table,
+    `execution-engine/benchmark/result/2020-3-22.md`) join branch outputs
+    along the channel axis. Under NITI every branch carries its own
+    power-of-two exponent, so the joined tensor must share one: align every
+    branch to e = max(exps) by truncating right-shift (same alignment rule as
+    the residual add above; right-shifting only shrinks magnitude, so the
+    data stays int8 and no requantization is needed), then concatenate.
+    """
+    exps = [e.astype(jnp.int32) for e in exps]
+    e = exps[0]
+    for ei in exps[1:]:
+        e = jnp.maximum(e, ei)
+    aligned = [
+        numerics.trunc_shift_div(d.astype(jnp.int32), e - ei).astype(jnp.int8)
+        for d, ei in zip(datas, exps)
+    ]
+    return jnp.concatenate(aligned, axis=-1), e

@@ -36,7 +36,26 @@ SHAPES = {
     "mobilenet_v1_fp32": (32, 32, 3),
     "mobilenet_v2_fp32": (32, 32, 3),
     "resnet18_niti": (32, 32, 3),
+    "squeezenet_niti": (224, 224, 3),
+    "resnet50v2_niti": (224, 224, 3),
+    "inceptionv3_niti": (299, 299, 3),
 }
+
+# The reference's headline benchmark table (forward latency, Kirin 990 CPU
+# 4 threads, arm82 fp16 — `execution-engine/benchmark/result/
+# 2020-3-22.md:1-29`), mapped to this framework's NITI int8 models at the
+# same input geometry. `--headline` measures batch-1 forward latency (the
+# reference protocol) and batch-256 throughput for each, on this device.
+HEADLINE = [
+    # (ref model name, ref avg ms, builder name, kwargs, input hw)
+    ("resnet-v2-50", 40.19, "resnet50v2_niti", {"num_classes": 1000}, 224),
+    ("MobileNetV2_224", 5.19, "mobilenet_v2_niti",
+     {"num_classes": 1000, "variant": "imagenet"}, 224),
+    ("mobilenet-v1-1.0", 6.46, "mobilenet_v1_niti",
+     {"num_classes": 1000, "variant": "imagenet"}, 224),
+    ("SqueezeNetV1.0", 11.59, "squeezenet_niti", {"num_classes": 1000}, 224),
+    ("inception-v3", 45.73, "inceptionv3_niti", {"num_classes": 1000}, 299),
+]
 
 
 def _device_ms(step_like):
@@ -101,12 +120,67 @@ def build(name, batch):
     return fwd
 
 
+def _niti_fwd(builder_name, kwargs, hw, batch):
+    from mandheling_tpu import models as M
+    from mandheling_tpu.ops.qtensor import QTensor
+
+    model = getattr(M, builder_name)(**kwargs)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-100, 100, (batch, hw, hw, 3)), jnp.int8)
+
+    def fwd(dep):
+        q = QTensor(x + dep.astype(jnp.int8), jnp.int32(-5))
+        out, _ = model.fwd(params, q)
+        return jnp.max(out.data).astype(jnp.int32) & 1
+
+    return fwd
+
+
+def run_headline(out_path=None):
+    """Batch-1 forward latency + batch-256 throughput for the reference's
+    headline benchmark models; writes the INFER_BENCH artifact."""
+    rows = []
+    for ref_name, ref_ms, builder, kwargs, hw in HEADLINE:
+        b1_ms = _device_ms(_niti_fwd(builder, kwargs, hw, 1))
+        bT = 256
+        thr_ms = _device_ms(_niti_fwd(builder, kwargs, hw, bT))
+        rows.append({
+            "ref_model": ref_name,
+            "model": builder,
+            "input": hw,
+            "ref_ms_kirin990_fp16": ref_ms,
+            "fwd_ms_b1": round(b1_ms, 4),
+            "speedup_vs_ref": round(ref_ms / b1_ms, 1),
+            "imgs_per_sec_b256": round(bT / (thr_ms / 1e3), 1),
+        })
+        print(f"{ref_name:18s} in{hw}  b1 {b1_ms:8.3f} ms "
+              f"(ref {ref_ms:6.2f} ms, {ref_ms / b1_ms:8.1f}x)  "
+              f"b256 {rows[-1]['imgs_per_sec_b256']:10.1f} imgs/s")
+    doc = {"device": jax.devices()[0].device_kind,
+           "protocol": "device-loop differential timing, int8 NITI forward",
+           "rows": rows}
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(f"wrote {out_path}")
+    return doc
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--models", nargs="*", default=sorted(SHAPES))
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--headline", action="store_true",
+                    help="reference benchmark-table models at 224/299; "
+                         "writes INFER_BENCH artifact")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+
+    if args.headline:
+        run_headline(args.out)
+        return
 
     rows = []
     for name in args.models:

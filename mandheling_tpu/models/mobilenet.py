@@ -78,6 +78,9 @@ def mobilenet_v2_niti(
     variant="cifar" (32x32, stride plan 1-1-2-2-2) or "imagenet" (224x224,
     stem stride 2 + standard strides — the reference benchmark geometry)."""
 
+    if variant not in ("cifar", "imagenet"):
+        raise ValueError(f"variant must be 'cifar' or 'imagenet', got {variant!r}")
+
     def c(ch):
         return max(4, int(ch * width_mult) // 4 * 4)
 
@@ -149,6 +152,9 @@ def mobilenet_v1_niti(
 ) -> Sequential:
     """NITI int8 MobileNetV1: depthwise 3x3 + pointwise 1x1 pairs.
     variant="cifar" or "imagenet" (see mobilenet_v2_niti)."""
+
+    if variant not in ("cifar", "imagenet"):
+        raise ValueError(f"variant must be 'cifar' or 'imagenet', got {variant!r}")
 
     def c(ch):
         return max(4, int(ch * width_mult) // 4 * 4)

@@ -19,6 +19,8 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import numerics
+
 
 def maxpool2d(
     x: jax.Array,
@@ -56,8 +58,16 @@ def maxpool2d_grad(
     stride: Sequence[int] = (2, 2),
 ) -> jax.Array:
     """Route gy to the first (row-major scan order) window position whose
-    forward value >= pooled max, accumulating in int8 like the reference
-    (`dst[j] = dst[j] + diffValue[j]`, NITI_CPUPoolGrad_Int8.cpp:60-66).
+    forward value >= pooled max (NITI_CPUPoolGrad_Int8.cpp:60-66).
+
+    The reference accumulates overlapping-window contributions with a raw
+    int8 add (`dst[j] = dst[j] + diffValue[j]`) that can wrap when an input
+    element is first-argmax of several overlapping windows (tie-heavy int8
+    data makes this common); wrapping flips the gradient sign. The 3x3
+    stride-2 pools of ResNet50v2/Inception are the first real users of this
+    path, so we accumulate in int32 and clip to +/-127 instead — the same
+    clipped-add convention OpGrad uses for multi-consumer gradients
+    (grad/OpGrad.cpp:64-128).
 
     Implemented gather-style per input position: for each input element,
     sum the gy of all windows for which this element is the designated
@@ -94,22 +104,20 @@ def maxpool2d_grad(
     earlier = jnp.cumsum(is_max.astype(jnp.int32), axis=0) - is_max.astype(jnp.int32)
     first = jnp.logical_and(is_max, earlier == 0)  # exactly one True per window
 
-    gx = jnp.zeros((b, ih, iw, c), jnp.int8)
+    gx = jnp.zeros((b, ih, iw, c), jnp.int32)
     idx = 0
     for dy in range(kh):
         for dx in range(kw):
             contrib = jnp.where(first[idx], gy, jnp.int8(0))
-            # scatter-add into the strided positions; with stride >= window
-            # the windows are disjoint so dynamic_update via padding works.
             scattered = jnp.zeros((b, ih, iw, c), jnp.int8)
             scattered = jax.lax.dynamic_update_slice(
                 scattered,
                 _dilate(contrib, sh, sw),
                 (0, dy, dx, 0),
             )
-            gx = gx + scattered  # int8 add, wraps like the reference
+            gx = gx + scattered.astype(jnp.int32)
             idx += 1
-    return gx
+    return numerics.int8_clip(gx).astype(jnp.int8)
 
 
 def _maxpool2d_grad_disjoint(

@@ -83,3 +83,46 @@ def cost_analysis(fn, *example_args):
 def flops_per_step(fn, *example_args) -> float:
     """Total XLA-estimated flops for one call of `fn(*example_args)`."""
     return float(cost_analysis(fn, *example_args).get("flops", 0.0))
+
+
+def per_op_profile(fn, *example_args, iters: int = 3, logdir: Optional[str] = None):
+    """Per-op device-time table for a jitted callable — the full analog of
+    the reference's Executor::Profiler per-OpType dump
+    (express/Executor.cpp:34-77, printed per epoch by MnistUtils.cpp:184).
+
+    Traces `iters` executions with jax.profiler, parses the XSpace protobuf
+    (utils/xplane.py), and returns (per_op_rows, per_category_rows); each
+    row carries occurrences, total device microseconds, and — on TPU —
+    the profiler's flops / bytes_accessed per op.
+
+    Times are summed over all `iters` runs; divide by `iters` for per-step.
+    """
+    import shutil
+    import tempfile
+
+    import jax
+
+    from . import xplane
+
+    own_dir = logdir is None
+    logdir = logdir or tempfile.mkdtemp(prefix="mandheling_prof_")
+    try:
+        jitted = jax.jit(fn) if not hasattr(fn, "lower") else fn
+        out = jitted(*example_args)  # compile outside the trace
+        jax.block_until_ready(out)
+        jax.profiler.start_trace(logdir)
+        try:
+            for _ in range(iters):
+                out = jitted(*example_args)
+            jax.block_until_ready(out)
+        finally:
+            jax.profiler.stop_trace()
+        files = xplane.find_xplane_files(logdir)
+        planes = []
+        for f in files:
+            planes.extend(xplane.parse_xspace(f))
+        rows = xplane.per_op_rows(xplane.device_planes(planes))
+        return rows, xplane.by_category(rows)
+    finally:
+        if own_dir:
+            shutil.rmtree(logdir, ignore_errors=True)

@@ -290,6 +290,12 @@ def tflite_from_sequential(model: Sequential, params, input_shape) -> bytes:
                   "window": (wh, ww)})
             cur, spatial = out, (oh, ow)
         elif isinstance(layer, NITIAvgPool):
+            if getattr(layer, "pad", 0):
+                raise ValueError(
+                    "TFLite export of NITIAvgPool with pad > 0 is not "
+                    "supported (would silently drop the padding); use "
+                    "pad=0 or an explicit PAD layer"
+                )
             wh, ww = layer.window
             sh, sw = layer.stride if layer.stride else layer.window
             oh, ow = (spatial[0] - wh) // sh + 1, (spatial[1] - ww) // sw + 1

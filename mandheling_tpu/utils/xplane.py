@@ -1,0 +1,310 @@
+"""Minimal XPlane (jax.profiler trace) reader + per-op aggregation.
+
+The reference dumps a per-OpType time+flops table each epoch
+(`express/Executor.cpp:34-77` Executor::Profiler, enabled by
+MNN_EXPR_ENABLE_PROFILER and printed by `demo/MnistUtils.cpp:72,184`).
+The TPU analog: capture a jax.profiler trace (XSpace protobuf) of the
+jitted step and aggregate the device-side XLA op events by HLO
+category / op name.
+
+The tensorboard_plugin_profile converters bundled in this image ship
+protobuf-5-era generated code that protobuf 6 refuses to load, so this
+module reads the XSpace wire format directly (proto wire layout of
+tensorflow/core/profiler/protobuf/xplane.proto — a stable public schema).
+Hand-rolled field-tag parsing, same approach as utils/flatbuf.py and
+utils/onnx_io.py take for their formats.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+# ---------------------------------------------------------------- wire layer
+
+
+def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _fields(buf: bytes) -> Iterator[Tuple[int, int, object]]:
+    """Yield (field_number, wire_type, value) for a serialized message.
+    value: int for varint/fixed, bytes for length-delimited."""
+    pos, n = 0, len(buf)
+    while pos < n:
+        key, pos = _read_varint(buf, pos)
+        field, wt = key >> 3, key & 7
+        if wt == 0:  # varint
+            val, pos = _read_varint(buf, pos)
+        elif wt == 1:  # 64-bit
+            val = int.from_bytes(buf[pos : pos + 8], "little")
+            pos += 8
+        elif wt == 2:  # length-delimited
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + ln]
+            pos += ln
+        elif wt == 5:  # 32-bit
+            val = int.from_bytes(buf[pos : pos + 4], "little")
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        yield field, wt, val
+
+
+def _zigzag64_to_signed(v: int) -> int:
+    # xplane int64 fields are plain varints (two's complement), not zigzag
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# ------------------------------------------------------------- schema layer
+
+
+class XStat:
+    __slots__ = ("metadata_id", "value")
+
+    def __init__(self, buf: bytes):
+        self.metadata_id = 0
+        self.value: object = None
+        for f, wt, v in _fields(buf):
+            if f == 1:
+                self.metadata_id = v
+            elif f == 2:  # double
+                import struct
+
+                self.value = struct.unpack("<d", v.to_bytes(8, "little"))[0]
+            elif f in (3, 7):  # uint64 / ref
+                self.value = v
+            elif f == 4:  # int64
+                self.value = _zigzag64_to_signed(v)
+            elif f == 5:  # string
+                self.value = v.decode("utf-8", "replace")
+            elif f == 6:  # bytes
+                self.value = v
+
+
+class XEvent:
+    __slots__ = ("metadata_id", "offset_ps", "duration_ps", "num_occurrences", "stats")
+
+    def __init__(self, buf: bytes):
+        self.metadata_id = 0
+        self.offset_ps = 0
+        self.duration_ps = 0
+        self.num_occurrences = 1
+        self.stats: List[XStat] = []
+        for f, wt, v in _fields(buf):
+            if f == 1:
+                self.metadata_id = v
+            elif f == 2:
+                self.offset_ps = _zigzag64_to_signed(v)
+            elif f == 3:
+                self.duration_ps = _zigzag64_to_signed(v)
+            elif f == 5:
+                self.num_occurrences = v
+            elif f == 4:
+                self.stats.append(XStat(v))
+
+
+class XLine:
+    __slots__ = ("name", "display_name", "events")
+
+    def __init__(self, buf: bytes):
+        self.name = ""
+        self.display_name = ""
+        self.events: List[XEvent] = []
+        for f, wt, v in _fields(buf):
+            if f == 2:
+                self.name = v.decode("utf-8", "replace")
+            elif f == 11:
+                self.display_name = v.decode("utf-8", "replace")
+            elif f == 4:
+                self.events.append(XEvent(v))
+
+
+class XEventMetadata:
+    __slots__ = ("id", "name", "display_name", "stats")
+
+    def __init__(self, buf: bytes):
+        self.id = 0
+        self.name = ""
+        self.display_name = ""
+        self.stats: List[XStat] = []
+        for f, wt, v in _fields(buf):
+            if f == 1:
+                self.id = v
+            elif f == 2:
+                self.name = v.decode("utf-8", "replace")
+            elif f == 4:
+                self.display_name = v.decode("utf-8", "replace")
+            elif f == 5:
+                self.stats.append(XStat(v))
+
+
+def _parse_map_entry(buf: bytes) -> Tuple[int, bytes]:
+    key, val = 0, b""
+    for f, wt, v in _fields(buf):
+        if f == 1:
+            key = v
+        elif f == 2:
+            val = v
+    return key, val
+
+
+class XPlane:
+    __slots__ = ("name", "lines", "event_metadata", "stat_metadata")
+
+    def __init__(self, buf: bytes):
+        self.name = ""
+        self.lines: List[XLine] = []
+        self.event_metadata: Dict[int, XEventMetadata] = {}
+        self.stat_metadata: Dict[int, str] = {}
+        for f, wt, v in _fields(buf):
+            if f == 2:
+                self.name = v.decode("utf-8", "replace")
+            elif f == 3:
+                self.lines.append(XLine(v))
+            elif f == 4:
+                k, ev = _parse_map_entry(v)
+                self.event_metadata[k] = XEventMetadata(ev)
+            elif f == 5:
+                k, sv = _parse_map_entry(v)
+                # XStatMetadata: field 2 = name
+                name = ""
+                for f2, _, v2 in _fields(sv):
+                    if f2 == 2:
+                        name = v2.decode("utf-8", "replace")
+                self.stat_metadata[k] = name
+
+
+def parse_xspace(path: str) -> List[XPlane]:
+    with open(path, "rb") as f:
+        buf = f.read()
+    planes = []
+    for f_, wt, v in _fields(buf):
+        if f_ == 1:
+            planes.append(XPlane(v))
+    return planes
+
+
+# --------------------------------------------------------- aggregation layer
+
+
+def find_xplane_files(logdir: str) -> List[str]:
+    return sorted(
+        glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True),
+        key=os.path.getmtime,
+    )
+
+
+def device_planes(planes: List[XPlane]) -> List[XPlane]:
+    """Accelerator (or CPU-device) planes holding XLA op events."""
+    dev = [
+        p
+        for p in planes
+        if p.name.startswith("/device:")
+        and not p.name.startswith("/device:CPU")  # host plane = python events
+    ]
+    if dev:
+        return dev
+    # CPU-only runs: XLA ops land on the TFStreamz-less host plane lines
+    return [p for p in planes if p.name.startswith("/device:")]
+
+
+def per_op_rows(
+    planes: List[XPlane], line_filter: str = "XLA Ops"
+) -> List[dict]:
+    """Aggregate device 'XLA Ops' line events by op metadata.
+
+    Returns one row per distinct op name:
+      {name, category, occurrences, total_us, flops, bytes_accessed}
+    flops/bytes come from the event-metadata stats when the profiler
+    recorded them (TPU does; CPU traces usually omit them).
+    """
+    agg: Dict[str, dict] = {}
+    for plane in planes:
+        stat_names = plane.stat_metadata
+        for line in plane.lines:
+            lname = line.display_name or line.name
+            if line_filter and line_filter.lower() not in lname.lower():
+                continue
+            for ev in line.events:
+                md = plane.event_metadata.get(ev.metadata_id)
+                name = (md.display_name or md.name) if md else f"op{ev.metadata_id}"
+                row = agg.setdefault(
+                    name,
+                    {
+                        "name": name,
+                        "category": "",
+                        "occurrences": 0,
+                        "total_us": 0.0,
+                        "flops": 0,
+                        "bytes_accessed": 0,
+                    },
+                )
+                row["occurrences"] += 1
+                row["total_us"] += ev.duration_ps / 1e6
+                if md and not row["category"]:
+                    for st in md.stats:
+                        sname = stat_names.get(st.metadata_id, "")
+                        if sname == "hlo_category":
+                            row["category"] = st.value
+                        elif sname == "flops":
+                            row["flops"] = int(st.value or 0)
+                        elif sname == "bytes_accessed":
+                            row["bytes_accessed"] = int(st.value or 0)
+                        elif sname in ("tf_op", "tf_op_name"):
+                            row["source"] = st.value
+                if "source" not in row or not row["source"]:
+                    # async ops carry the originating-op stats per event
+                    for st in ev.stats:
+                        sname = stat_names.get(st.metadata_id, "")
+                        if sname in ("tf_op", "tf_op_name"):
+                            row["source"] = st.value
+                        elif sname == "hlo_op" and not row.get("source"):
+                            row["source"] = st.value
+    return sorted(agg.values(), key=lambda r: -r["total_us"])
+
+
+def by_category(rows: List[dict]) -> List[dict]:
+    """Collapse per-op rows into per-HLO-category rows (the per-OpType view
+    of the reference's Profiler::dump)."""
+    agg: Dict[str, dict] = {}
+    for r in rows:
+        cat = r["category"] or "(uncategorized)"
+        row = agg.setdefault(
+            cat,
+            {"category": cat, "ops": 0, "occurrences": 0, "total_us": 0.0,
+             "flops": 0, "bytes_accessed": 0},
+        )
+        row["ops"] += 1
+        row["occurrences"] += r["occurrences"]
+        row["total_us"] += r["total_us"]
+        row["flops"] += r["flops"] * r["occurrences"]
+        row["bytes_accessed"] += r["bytes_accessed"] * r["occurrences"]
+    return sorted(agg.values(), key=lambda r: -r["total_us"])
+
+
+def format_table(rows: List[dict], top: Optional[int] = None) -> str:
+    """Render rows like the reference's per-OpType dump
+    (express/Executor.cpp:60-76: name, time, %, flops)."""
+    total = sum(r["total_us"] for r in rows) or 1.0
+    out = [f"{'op/category':48s} {'n':>6s} {'time_us':>12s} {'%':>6s} "
+           f"{'GFLOP':>10s} {'GB':>8s}  source"]
+    for r in rows[: top or len(rows)]:
+        name = r.get("name") or r.get("category", "?")
+        out.append(
+            f"{name[:48]:48s} {r['occurrences']:6d} {r['total_us']:12.1f} "
+            f"{100*r['total_us']/total:6.1f} "
+            f"{r.get('flops', 0)/1e9:10.3f} "
+            f"{r.get('bytes_accessed', 0)/1e9:8.3f}  "
+            f"{r.get('source', '')[:60]}"
+        )
+    return "\n".join(out)

@@ -27,3 +27,24 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_configure(config):
+    """Fail fast if jax grabbed a non-CPU platform or <8 devices.
+
+    On this box a plain `python -m pytest tests` lets the axon sitecustomize
+    bootstrap the remote TPU before this conftest runs: the 8-device
+    fixtures error out and everything else crawls through the relay
+    (25+ min vs 2-3 min). Refuse to start instead of limping."""
+    import jax
+
+    backend = jax.default_backend()
+    ndev = jax.device_count()
+    if backend != "cpu" or ndev < 8:
+        raise RuntimeError(
+            f"test suite needs the virtual 8-device CPU mesh, got "
+            f"backend={backend!r} with {ndev} device(s) — jax was "
+            f"initialized before conftest.py could set JAX_PLATFORMS "
+            f"(usually the axon sitecustomize via PYTHONPATH). Run:\n\n"
+            f"    PYTHONPATH= JAX_PLATFORMS=cpu python -m pytest tests/ -x -q\n"
+        )

@@ -169,7 +169,14 @@ def run_headline(out_path=None):
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--models", nargs="*", default=sorted(SHAPES))
+    # default run sticks to the CIFAR/MNIST-scale models; the 224/299-input
+    # headline models (large compiles, OOM-prone at b256) run via --headline
+    # or an explicit --models entry
+    ap.add_argument(
+        "--models", nargs="*",
+        default=sorted(n for n, (h, _, _) in SHAPES.items() if h <= 32),
+        choices=sorted(SHAPES),
+    )
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--json", action="store_true")
     ap.add_argument("--headline", action="store_true",

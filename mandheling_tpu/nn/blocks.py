@@ -146,6 +146,49 @@ class ParallelConcat(NITILayer):
         return gx, grads
 
 
+class ParallelAdd(NITILayer):
+    """Run N branches on the same input and join with the exponent-aligned
+    int8 add (ops/eltwise.add_int8) — the general fan-in for imported
+    graphs whose Add joins two non-trivial paths (e.g. ResNet downsample
+    blocks where the skip is a strided 1x1 conv, or any rewritten topology
+    from `transformer/Transformer.cpp:69`). An empty branch
+    (`Sequential([])`) is the identity skip, making `ParallelAdd([main,
+    Sequential([])])` semantically equal to `ResidualBlock(main)`.
+
+    Backward mirrors ParallelConcat: the Add gradient passes the output
+    diff unchanged to every branch (NOP-grad, grad/NITI_DSPBinaryGrad.cpp:
+    27-32); branch input-grads accumulate with the clipped int8 add."""
+
+    def __init__(self, branches: Sequence):
+        if len(branches) < 2:
+            raise ValueError("ParallelAdd needs >= 2 branches")
+        self.branches = list(branches)
+
+    def init(self, key):
+        keys = jax.random.split(key, len(self.branches))
+        return [b.init(k) for b, k in zip(self.branches, keys)]
+
+    def fwd(self, params, q: QTensor, axis_name=None):
+        outs, ress = [], []
+        for branch, p in zip(self.branches, params):
+            out, r = branch.fwd(p, q, axis_name)
+            outs.append(out)
+            ress.append(r)
+        y, e = outs[0].data, outs[0].exp
+        for o in outs[1:]:
+            y, e = elt_ops.add_int8(y, e, o.data, o.exp)
+        return QTensor(y, e), ress
+
+    def bwd(self, params, res, gy, axis_name=None):
+        gx = None
+        grads = []
+        for branch, p, r in zip(self.branches, params, res):
+            g_in, g_p = branch.bwd(p, r, gy, axis_name)
+            grads.append(g_p)
+            gx = g_in if gx is None else _accum_grads(gx, g_in)
+        return gx, grads
+
+
 class ResidualBlock(NITILayer):
     """y = requant(branch(x) + x) with exponent alignment.
 

@@ -395,16 +395,22 @@ def conv2d_filter_grad_acc(
     if strategy == "corr" and stride1:
         return _filter_grad_acc_corr(x, gy, kernel_spatial, padding)
     pad = resolve_padding(padding, kernel_spatial, stride, x.shape[1:3])
-    # lhs: treat Cin as batch, B as features -> (Cin, H, W, B)
-    lhs = x.transpose(3, 1, 2, 0)
-    # rhs: gy as kernel (Hout, Wout, B, Cout)
-    rhs = gy.transpose(1, 2, 0, 3)
-    acc = _dispatch.conv_acc(
-        lhs,
-        rhs,
-        (1, 1),
-        pad,
+    # One conv with batch as the contraction dim, expressed through LOGICAL
+    # dimension numbers ("CHWN": x's batch dim plays the feature role, its
+    # channel dim the batch role) instead of materialized transposes — the
+    # same trick XLA's own conv transpose rule uses. The r3 profile showed
+    # the physical x.transpose(3,1,2,0)/gy.transpose(1,2,0,3) copies feeding
+    # ~1 GB/step of async-copy traffic in the MNv2 step; measured
+    # (tools/probes/dw_fix_probe.py): 0.049 -> 0.038 ms for the 24->144
+    # 32x32 pw fgrad.
+    acc = jax.lax.conv_general_dilated(
+        x,
+        gy,
+        window_strides=(1, 1),
+        padding=pad,
         rhs_dilation=tuple(stride),
+        dimension_numbers=("CHWN", "IHWO", "NHWC"),
+        preferred_element_type=jnp.int32,
     )  # (Cin, kh', kw', Cout) — kh' can exceed kh when stride > 1: the
     # correlation window slides over H - (oh-1)*s - k + s extra taps that do
     # not belong to the kernel (e.g. a 1x1 stride-2 conv on 32x32 yields a

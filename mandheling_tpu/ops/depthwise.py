@@ -55,6 +55,56 @@ def _fused_dw_requant(
     return y, eff_shift
 
 
+# Depthwise forward/igrad accumulator implementation:
+#   "grouped" — one XLA conv with feature_group_count=C
+#   "taps"    — kh*kw shifted elementwise multiply-adds (pure VPU work,
+#               immune to the grouped-conv layout cliff: the r3 per-op
+#               profile caught XLA lowering the stage-4 MNv2 dw convs at
+#               3.09 ms each *in context* — 64x their isolated 0.048 ms —
+#               when layout assignment picked C-minor for the fused
+#               conv+abs-reduce; taps never lower to a convolution)
+# Measured isolated (tools/probes/dw_fix_probe.py): taps ~= grouped at
+# 32x32, grouped slightly ahead at tiny spatial; the in-context step
+# measurement decides the default.
+_DW_IMPL = "taps"
+_DW_VALID = ("taps", "grouped")
+
+
+def set_dw_impl(name: str) -> None:
+    global _DW_IMPL
+    if name not in _DW_VALID:
+        raise ValueError(f"dw impl must be one of {_DW_VALID}, got {name!r}")
+    _DW_IMPL = name
+
+
+def get_dw_impl() -> str:
+    return _DW_IMPL
+
+
+def _dw_acc_taps(
+    x: jax.Array,
+    w: jax.Array,
+    stride: Tuple[int, int],
+    pad: Tuple[Tuple[int, int], Tuple[int, int]],
+) -> jax.Array:
+    kh, kw, _, c = w.shape
+    sh, sw = stride
+    xp = jnp.pad(x, ((0, 0), pad[0], pad[1], (0, 0)))
+    b, hp, wp, _ = xp.shape
+    oh, ow = (hp - kh) // sh + 1, (wp - kw) // sw + 1
+    acc = jnp.zeros((b, oh, ow, c), jnp.int32)
+    for dy in range(kh):
+        for dx in range(kw):
+            tap = jax.lax.slice(
+                xp,
+                (0, dy, dx, 0),
+                (b, dy + (oh - 1) * sh + 1, dx + (ow - 1) * sw + 1, c),
+                (1, sh, sw, 1),
+            ).astype(jnp.int32)
+            acc = acc + tap * w[dy, dx, 0].astype(jnp.int32)
+    return acc
+
+
 def dwconv2d_int8_acc(
     x: jax.Array,
     w: jax.Array,
@@ -62,6 +112,8 @@ def dwconv2d_int8_acc(
     padding="SAME",
 ) -> jax.Array:
     pad = resolve_padding(padding, w.shape[:2], stride, x.shape[1:3])
+    if _DW_IMPL == "taps":
+        return _dw_acc_taps(x, w, tuple(stride), pad)
     c = x.shape[-1]
     return jax.lax.conv_general_dilated(
         x,
@@ -135,16 +187,28 @@ def dwconv2d_input_grad(
         )
         if fused is not None:
             return fused[0]
-    acc = jax.lax.conv_general_dilated(
-        gy,
-        w_rot,
-        (1, 1),
-        ((pad_top, pad_bottom), (pad_left, pad_right)),
-        lhs_dilation=(sh, sw),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-        preferred_element_type=jnp.int32,
-    )
+    if (_DW_IMPL == "taps"
+            and min(pad_top, pad_left, pad_bottom, pad_right) >= 0):
+        gy_d = gy
+        if (sh, sw) != (1, 1):
+            gy_d = jnp.zeros(
+                (gy.shape[0], dil_h, dil_w, gy.shape[3]), gy.dtype
+            ).at[:, ::sh, ::sw, :].set(gy)
+        acc = _dw_acc_taps(
+            gy_d, w_rot, (1, 1),
+            ((pad_top, pad_bottom), (pad_left, pad_right)),
+        )
+    else:
+        acc = jax.lax.conv_general_dilated(
+            gy,
+            w_rot,
+            (1, 1),
+            ((pad_top, pad_bottom), (pad_left, pad_right)),
+            lhs_dilation=(sh, sw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+            preferred_element_type=jnp.int32,
+        )
     m = _maybe_pmax(jnp.max(jnp.abs(acc)), axis_name)
     bw = numerics.range_estimate_from_max(m)
     out, _ = numerics.requant_forward_from_bw(acc, jnp.int32(0), bw)
@@ -160,32 +224,37 @@ def dwconv2d_filter_grad(
     axis_name: Optional[str] = None,
 ) -> jax.Array:
     """dw[kh,kw,1,c] = sum_{b,oh,ow} x[b, oh*s+kh-pt, ...] * gy[b,oh,ow,c];
-    bw-2 shift like the dense filter grad. Depthwise filter-grad FLOPs are
-    tiny (no channel contraction), so a VPU einsum is the right tool."""
+    bw-2 shift like the dense filter grad.
+
+    Lowered as ONE batch-grouped conv (batch_group_count=C with logical
+    dimension numbers "CHWN" — the exact form XLA autodiff uses for
+    depthwise weight grads). The r2 implementation was a 9-slice VPU
+    einsum; the r3 per-op profile showed its strided tap slices feeding
+    ~7 GB/step of async slice traffic in the MNv2 step, and the grouped
+    conv measured 1.7-4.5x faster at every model-zoo shape
+    (tools/probes/dw_fix_probe.py: 0.345->0.207 ms @32x32x144,
+    0.051->0.012 ms @8x8x384, 0.022->0.006 ms @4x4x960).
+
+    NOTE: a fused Pallas filter-grad kernel also exists
+    (kernels/fused_dwconv_int8.dwconv_fgrad_acc_pallas) but is NOT routed:
+    measured 1.24 ms vs 0.28 ms at (256, 32, 32, 144) — negative result,
+    kept for the record.
+    """
     kh, kw = kernel_spatial
+    c = x.shape[-1]
     pad = resolve_padding(padding, (kh, kw), stride, x.shape[1:3])
-    sh, sw = stride
-    xp = jnp.pad(x, ((0, 0), pad[0], pad[1], (0, 0)))
-    b, ih, iw, c = xp.shape
-    oh, ow = gy.shape[1], gy.shape[2]
-    # NOTE: a fused Pallas filter-grad kernel exists
-    # (kernels/fused_dwconv_int8.dwconv_fgrad_acc_pallas) but is NOT routed:
-    # measured on TPU v5e it runs 1.24 ms vs 0.28 ms for this XLA einsum at
-    # (256, 32, 32, 144) — the 9 sequential cross-sublane reductions beat
-    # the accumulator traffic they avoid. Negative result, kept for the
-    # record.
-    gy32 = gy.astype(jnp.int32)
-    cols = []
-    for dy in range(kh):
-        for dx in range(kw):
-            patch = jax.lax.slice(
-                xp,
-                (0, dy, dx, 0),
-                (b, dy + (oh - 1) * sh + 1, dx + (ow - 1) * sw + 1, c),
-                (1, sh, sw, 1),
-            ).astype(jnp.int32)
-            cols.append(jnp.sum(patch * gy32, axis=(0, 1, 2)))  # (C,)
-    acc = jnp.stack(cols).reshape(kh, kw, 1, c)
+    acc = jax.lax.conv_general_dilated(
+        x,
+        gy,
+        window_strides=(1, 1),
+        padding=pad,
+        rhs_dilation=tuple(stride),
+        dimension_numbers=("CHWN", "IHWO", "NHWC"),
+        batch_group_count=c,
+        preferred_element_type=jnp.int32,
+    )  # (1, kh', kw', C); only the leading kh x kw taps belong to the
+    # kernel when stride > 1 (same slice as the dense fgrad)
+    acc = acc[:, :kh, :kw, :].transpose(1, 2, 0, 3)  # (kh, kw, 1, C)
     from . import allreduce
 
     return allreduce.grad_allreduce_requant(acc, axis_name, margin=2)

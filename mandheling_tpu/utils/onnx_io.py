@@ -255,3 +255,85 @@ def build_onnx_sequential(
     if path:
         save_onnx(m, path)
     return m
+
+
+def build_onnx_graph(
+    nodes: Sequence[Tuple[str, Sequence[str], Sequence[str], Dict]],
+    input_shape: Sequence[int],
+    output: str,
+    path: str = None,
+    input_name: str = "input",
+    producer: str = "mandheling_tpu",
+) -> pb.ModelProto:
+    """Build an ONNX model with explicit tensor wiring (branching graphs).
+
+    nodes: sequence of (op_type, activation_inputs, outputs, spec) where
+    spec carries the same parameter arrays/attributes as
+    build_onnx_sequential ("w"/"b" for Conv/Gemm, "scale"/"bias"/"mean"/
+    "var" for BatchNormalization, "kernel"/"strides"/"pads"/"group"
+    attributes, "axis" for Concat). Initializer inputs are appended after
+    the activation inputs automatically.
+    """
+    m = pb.ModelProto()
+    m.ir_version = 8
+    m.producer_name = producer
+    ops_import = m.opset_import.add()
+    ops_import.domain = ""
+    ops_import.version = 17
+    g = m.graph
+    g.name = "mandheling_graph"
+
+    def vi(name, shape=None):
+        v = pb.ValueInfoProto()
+        v.name = name
+        v.type.tensor_type.elem_type = _FLOAT
+        if shape is not None:
+            for d in shape:
+                v.type.tensor_type.shape.dim.add().dim_value = int(d)
+        return v
+
+    g.input.append(vi(input_name, input_shape))
+    for idx, (op, ins, outs, spec) in enumerate(nodes):
+        node = g.node.add()
+        node.op_type = op
+        node.name = f"{op.lower()}_{idx}"
+        node.input.extend(ins)
+        if op in ("Conv", "Gemm", "MatMul"):
+            wname = f"{node.name}_w"
+            g.initializer.append(
+                np_to_tensor(wname, np.asarray(spec["w"], np.float32)))
+            node.input.append(wname)
+            if "b" in spec:
+                bname = f"{node.name}_b"
+                g.initializer.append(
+                    np_to_tensor(bname, np.asarray(spec["b"], np.float32)))
+                node.input.append(bname)
+            if op == "Conv":
+                a = node.attribute.add(); a.name = "strides"; a.ints.extend(spec.get("strides", (1, 1)))
+                a = node.attribute.add(); a.name = "pads"; a.ints.extend(spec.get("pads", (0, 0, 0, 0)))
+                a = node.attribute.add(); a.name = "group"; a.i = int(spec.get("group", 1)); a.type = 2
+                kh, kw = np.asarray(spec["w"]).shape[2:]
+                a = node.attribute.add(); a.name = "kernel_shape"; a.ints.extend([kh, kw])
+            elif op == "Gemm":
+                a = node.attribute.add(); a.name = "transB"; a.i = 1; a.type = 2
+        elif op == "BatchNormalization":
+            for key in ("scale", "bias", "mean", "var"):
+                n = f"{node.name}_{key}"
+                g.initializer.append(
+                    np_to_tensor(n, np.asarray(spec[key], np.float32)))
+                node.input.append(n)
+        elif op in ("MaxPool", "AveragePool"):
+            a = node.attribute.add(); a.name = "kernel_shape"; a.ints.extend(spec.get("kernel", (2, 2)))
+            a = node.attribute.add(); a.name = "strides"; a.ints.extend(spec.get("strides", spec.get("kernel", (2, 2))))
+            if "pads" in spec:
+                a = node.attribute.add(); a.name = "pads"; a.ints.extend(spec["pads"])
+        elif op == "Concat":
+            a = node.attribute.add(); a.name = "axis"; a.i = int(spec.get("axis", 1)); a.type = 2
+        elif op == "Clip":
+            a = node.attribute.add(); a.name = "min"; a.f = float(spec.get("min", 0.0)); a.type = 1
+            a = node.attribute.add(); a.name = "max"; a.f = float(spec.get("max", 6.0)); a.type = 1
+        node.output.extend(outs)
+    g.output.append(vi(output))
+    if path:
+        save_onnx(m, path)
+    return m

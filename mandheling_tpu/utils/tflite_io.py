@@ -37,6 +37,7 @@ NP_TENSOR_TYPE = {np.dtype(np.float32): 0, np.dtype(np.int32): 2,
 # BuiltinOperator
 ADD = 0
 AVERAGE_POOL_2D = 1
+CONCATENATION = 2
 CONV_2D = 3
 DEPTHWISE_CONV_2D = 4
 FULLY_CONNECTED = 9
@@ -49,7 +50,8 @@ PAD = 34
 MEAN = 40
 
 OP_NAMES = {
-    ADD: "ADD", AVERAGE_POOL_2D: "AVERAGE_POOL_2D", CONV_2D: "CONV_2D",
+    ADD: "ADD", AVERAGE_POOL_2D: "AVERAGE_POOL_2D",
+    CONCATENATION: "CONCATENATION", CONV_2D: "CONV_2D",
     DEPTHWISE_CONV_2D: "DEPTHWISE_CONV_2D", FULLY_CONNECTED: "FULLY_CONNECTED",
     MAX_POOL_2D: "MAX_POOL_2D", RELU: "RELU", RELU6: "RELU6",
     RESHAPE: "RESHAPE", SOFTMAX: "SOFTMAX", PAD: "PAD", MEAN: "MEAN",
@@ -61,6 +63,7 @@ OPT_DEPTHWISE = 2
 OPT_POOL2D = 5
 OPT_FULLY_CONNECTED = 8
 OPT_SOFTMAX = 9
+OPT_CONCAT = 10
 OPT_ADD = 11
 OPT_RESHAPE = 17
 OPT_PAD = 22
@@ -157,6 +160,9 @@ def _read_options(opcode: int, opt_type: int, t: Optional[fb.Table]) -> Dict:
         return {"beta": t.scalar(0, "f32", 1.0)}
     if opt_type == OPT_ADD:
         return {"fused_activation": t.scalar(0, "i8")}
+    if opt_type == OPT_CONCAT:
+        return {"axis": t.scalar(0, "i32", 0) or 0,
+                "fused_activation": t.scalar(1, "i8")}
     if opt_type == OPT_RESHAPE:
         return {"new_shape": t.scalar_vector(0, "i32")}
     if opt_type == OPT_REDUCER:
@@ -288,6 +294,11 @@ class TFLiteWriter:
             f = [(0, "f32", o.get("beta", 1.0))]
         elif opt_type == OPT_REDUCER:
             f = [(0, "bool", o.get("keep_dims", False))]
+        elif opt_type == OPT_CONCAT:
+            f = [(0, "i32", o.get("axis", 3)),
+                 (1, "i8", o.get("fused_activation", ACT_NONE))]
+        elif opt_type == OPT_ADD:
+            f = [(0, "i8", o.get("fused_activation", ACT_NONE))]
         return f
 
     def finish(self, inputs, outputs) -> bytes:

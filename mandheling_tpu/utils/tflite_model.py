@@ -34,6 +34,7 @@ from ..nn.layers import Flatten, NITIConv2D, NITIMaxPool, NITIRelu, SqueezeLogit
 from ..nn.module import Sequential
 from ..ops.qtensor import QTensor, quantize_weights
 from . import tflite_io as T
+from .graph_import import RegionWalker
 
 
 def _quant(w: np.ndarray) -> QTensor:
@@ -63,47 +64,86 @@ def _weights(model: T.TFLModel, idx: int) -> np.ndarray:
     return w
 
 
-def niti_model_from_tflite(path_or_bytes, input_shape=None):
-    """TFLite graph -> (Sequential NITI model, quantized params).
+class _TShape:
+    """NHWC shape cursor threaded along each chain (for join checks)."""
 
-    `input_shape` (N, H, W, C) overrides the graph's declared input shape
-    (TFLite is NHWC natively — no layout transposition happens on
-    activations, only on weight tensors)."""
-    m = T.load_tflite(path_or_bytes)
+    __slots__ = ("c", "h", "w", "flattened")
 
-    produced_by: Dict[int, int] = {}
-    for i, op in enumerate(m.ops):
-        for out in op.outputs:
-            produced_by[out] = i
-    consumers: Dict[int, int] = {}
-    for op in m.ops:
-        for t in op.inputs:
-            consumers[t] = consumers.get(t, 0) + 1
+    def __init__(self, c, h, w, flattened=False):
+        self.c, self.h, self.w = c, h, w
+        self.flattened = flattened
 
-    layers: List = []
-    params: List = []
+    def copy(self) -> "_TShape":
+        return _TShape(self.c, self.h, self.w, self.flattened)
 
-    def emit(layer, p=()):
-        layers.append(layer)
-        params.append(p)
 
-    def fused_act(code: int, op_name: str):
-        if code == T.ACT_NONE:
-            return
-        if code in (T.ACT_RELU, T.ACT_RELU6):
-            # NITI relu; relu6's clamp is subsumed by int8 saturation at
-            # the layer's power-of-two scale (documented deviation, same
-            # as the reference's float->NITI conversion of relu6 nets)
-            emit(NITIRelu())
-            return
-        raise ValueError(f"unsupported fused activation {code} on {op_name}")
+def _io_dim(size, k, s, pad_code):
+    if pad_code == T.PAD_SAME:
+        return -(-size // s)
+    return (size - k) // s + 1
 
-    for op in m.ops:
-        if op.inputs and consumers.get(op.inputs[0], 0) > 1:
-            raise ValueError(
-                "branching topology (tensor consumed twice) — import "
-                "residual models through the architecture-matched adapters"
-            )
+
+class _TFLGraphOps:
+    """GraphOps adapter for utils/graph_import.RegionWalker over a TFLite
+    graph (integer tensor ids; constants are tensors with buffer data)."""
+
+    def __init__(self, m: T.TFLModel):
+        self.m = m
+        self._cons: Dict[int, List[T.TFLOp]] = {}
+        for op in m.ops:
+            for t in self.act_inputs(op):
+                self._cons.setdefault(t, []).append(op)
+        self._emitted_flatten = False
+
+    def _is_const(self, idx: int) -> bool:
+        return self.m.tensors[idx].data is not None
+
+    def consumers(self, t):
+        return self._cons.get(t, [])
+
+    def outputs(self, op):
+        return list(op.outputs)
+
+    def act_inputs(self, op):
+        return [t for t in op.inputs if t >= 0 and not self._is_const(t)]
+
+    def join_kind(self, op):
+        if op.opcode == T.ADD:
+            if op.options.get("fused_activation", 0) != T.ACT_NONE:
+                raise ValueError(
+                    "fused activation on ADD joins unsupported — re-export "
+                    "with a separate RELU"
+                )
+            return "add"
+        if op.opcode == T.CONCATENATION:
+            axis = op.options.get("axis", 3)
+            if axis not in (3, -1):
+                raise ValueError(
+                    "CONCATENATION join supported on the channel axis only"
+                )
+            if op.options.get("fused_activation", 0) != T.ACT_NONE:
+                raise ValueError("fused activation on CONCATENATION joins "
+                                 "unsupported")
+            return "concat"
+        return None
+
+    def convert_node(self, op, st: _TShape, layers: List, params: List):
+        def emit(layer, p=()):
+            layers.append(layer)
+            params.append(p)
+
+        def fused_act(code: int, op_name: str):
+            if code == T.ACT_NONE:
+                return
+            if code in (T.ACT_RELU, T.ACT_RELU6):
+                # NITI relu; relu6's clamp is subsumed by int8 saturation
+                # at the layer's power-of-two scale (documented deviation,
+                # same as the reference's float->NITI conversion)
+                emit(NITIRelu())
+                return
+            raise ValueError(f"unsupported fused activation {code} on {op_name}")
+
+        m = self.m
         o = op.options
         if op.opcode == T.CONV_2D:
             if o.get("dilation", (1, 1)) != (1, 1):
@@ -116,6 +156,9 @@ def niti_model_from_tflite(path_or_bytes, input_shape=None):
                 {"w": _quant(w)},
             )
             fused_act(o.get("fused_activation", 0), op.name)
+            st.c = w.shape[3]
+            st.h = _io_dim(st.h, w.shape[0], o["stride"][0], o["padding"])
+            st.w = _io_dim(st.w, w.shape[1], o["stride"][1], o["padding"])
         elif op.opcode == T.DEPTHWISE_CONV_2D:
             if o.get("depth_multiplier", 1) != 1:
                 raise ValueError("depth_multiplier != 1 unsupported")
@@ -128,28 +171,39 @@ def niti_model_from_tflite(path_or_bytes, input_shape=None):
                 {"w": _quant(w4.reshape(kh, kw, 1, c))},
             )
             fused_act(o.get("fused_activation", 0), op.name)
+            st.h = _io_dim(st.h, kh, o["stride"][0], o["padding"])
+            st.w = _io_dim(st.w, kw, o["stride"][1], o["padding"])
         elif op.opcode == T.FULLY_CONNECTED:
             _check_bias(m, op)
             w = _weights(m, op.inputs[1])  # (out, in)
             w_in = w.T  # (in, out); TFLite flattens NHWC -> no permutation
-            if not any(isinstance(l, Flatten) for l in layers):
+            if not st.flattened:
                 emit(Flatten())
+                st.flattened = True
             emit(
                 NITIConv2D(w_in.shape[0], w_in.shape[1], (1, 1)),
                 {"w": _quant(w_in.reshape(1, 1, *w_in.shape))},
             )
             fused_act(o.get("fused_activation", 0), op.name)
+            st.c, st.h, st.w = w_in.shape[1], 1, 1
         elif op.opcode == T.MAX_POOL_2D:
             emit(NITIMaxPool(o["window"], o["stride"]))
+            st.h = _io_dim(st.h, o["window"][0], o["stride"][0], o["padding"])
+            st.w = _io_dim(st.w, o["window"][1], o["stride"][1], o["padding"])
         elif op.opcode == T.AVERAGE_POOL_2D:
             emit(NITIAvgPool(o["window"], o["stride"]))
+            st.h = _io_dim(st.h, o["window"][0], o["stride"][0], o["padding"])
+            st.w = _io_dim(st.w, o["window"][1], o["stride"][1], o["padding"])
         elif op.opcode == T.MEAN:
             axes = m.tensors[op.inputs[1]].dequantized()
             if axes is None or sorted(int(a) for a in axes.ravel()) != [1, 2]:
                 raise ValueError("MEAN supported only over spatial axes (1,2)")
             emit(GlobalAvgPool())
+            st.h = st.w = 1
         elif op.opcode == T.RESHAPE:
             emit(Flatten())
+            st.flattened = True
+            st.c, st.h, st.w = st.c * st.h * st.w, 1, 1
         elif op.opcode == T.RELU:
             emit(NITIRelu())
         elif op.opcode in (T.SOFTMAX,):
@@ -157,9 +211,37 @@ def niti_model_from_tflite(path_or_bytes, input_shape=None):
         elif op.opcode == T.RELU6:
             emit(NITIRelu())  # see fused_act note
         else:
-            raise ValueError(f"unsupported TFLite op {op.name} for NITI import")
+            raise ValueError(
+                f"unsupported TFLite op {op.name} for NITI import")
+        return op.outputs[0]
 
-    emit(SqueezeLogits())
+
+def niti_model_from_tflite(path_or_bytes, input_shape=None):
+    """TFLite graph -> (NITI model tree, quantized params).
+
+    Arbitrary fan-out/fan-in topologies are supported through the shared
+    region walker (utils/graph_import.RegionWalker): ADD joins become
+    ResidualBlock / ParallelAdd, channel-axis CONCATENATION joins become
+    ParallelConcat — the TFLite leg of the reference's whole-graph
+    turnModelToTrainable (transformer/Transformer.cpp:69).
+
+    `input_shape` (N, H, W, C) overrides the graph's declared input shape
+    (TFLite is NHWC natively — no layout transposition happens on
+    activations, only on weight tensors)."""
+    m = T.load_tflite(path_or_bytes)
+
+    if input_shape is None:
+        input_shape = tuple(m.tensors[m.inputs[0]].shape)
+    _, h, w, c = input_shape
+
+    ops = _TFLGraphOps(m)
+    walker = RegionWalker(ops)
+    layers: List = []
+    params: List = []
+    st = _TShape(c, h, w)
+    walker.build_segment(m.inputs[0], m.outputs[0], st, layers, params)
+    layers.append(SqueezeLogits())
+    params.append(())
     return Sequential(layers), params
 
 

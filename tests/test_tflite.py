@@ -99,7 +99,7 @@ def test_tflite_import_rejects_nonzero_bias_and_branching():
     with pytest.raises(ValueError, match="bias"):
         niti_model_from_tflite(buf)
 
-    # branching: one tensor consumed by two ops
+    # branching now imports (r3): relu(x) + relu(x) -> ParallelAdd
     w = T.TFLiteWriter()
     inp = w.tensor((1, 8, 8, 3), name="in")
     o1 = w.tensor((1, 8, 8, 3))
@@ -109,8 +109,92 @@ def test_tflite_import_rejects_nonzero_bias_and_branching():
     w.op(T.RELU, [inp], [o2])
     w.op(T.ADD, [o1, o2], [o3], T.OPT_ADD, {})
     buf = w.finish([inp], [o3])
-    with pytest.raises(ValueError, match="branching"):
-        niti_model_from_tflite(buf)
+    from mandheling_tpu.nn.blocks import ParallelAdd
+
+    model, _ = niti_model_from_tflite(buf)
+    assert isinstance(model.layers[0], ParallelAdd)
+
+
+def test_tflite_fire_module_concat_import():
+    """SqueezeNet Fire: squeeze 1x1 -> [expand1x1, expand3x3] -> channel
+    CONCATENATION imports as ParallelConcat and runs the train step."""
+    from mandheling_tpu.data import onehot_padded
+    from mandheling_tpu.nn.blocks import ParallelConcat
+    from mandheling_tpu.train import make_train_step
+
+    rng = np.random.default_rng(5)
+    w = T.TFLiteWriter()
+    inp = w.tensor((1, 8, 8, 8), name="in")
+    wsq = w.const(rng.normal(0, 0.3, (4, 1, 1, 8)).astype(np.float32))  # OHWI
+    sq = w.tensor((1, 8, 8, 4))
+    w.op(T.CONV_2D, [inp, wsq, -1], [sq], T.OPT_CONV2D,
+         {"padding": T.PAD_VALID, "stride": (1, 1),
+          "fused_activation": T.ACT_RELU})
+    we1 = w.const(rng.normal(0, 0.3, (6, 1, 1, 4)).astype(np.float32))
+    e1 = w.tensor((1, 8, 8, 6))
+    w.op(T.CONV_2D, [sq, we1, -1], [e1], T.OPT_CONV2D,
+         {"padding": T.PAD_VALID, "stride": (1, 1)})
+    we3 = w.const(rng.normal(0, 0.3, (6, 3, 3, 4)).astype(np.float32))
+    e3 = w.tensor((1, 8, 8, 6))
+    w.op(T.CONV_2D, [sq, we3, -1], [e3], T.OPT_CONV2D,
+         {"padding": T.PAD_SAME, "stride": (1, 1)})
+    cat = w.tensor((1, 8, 8, 12))
+    w.op(T.CONCATENATION, [e1, e3], [cat], T.OPT_CONCAT, {"axis": 3})
+    buf = w.finish([inp], [cat])
+
+    model, params = niti_model_from_tflite(buf)
+    kinds = [type(l).__name__ for l in model.layers]
+    assert "ParallelConcat" in kinds
+    concat = next(l for l in model.layers if isinstance(l, ParallelConcat))
+    assert len(concat.branches) == 2
+
+    step = jax.jit(make_train_step(model))
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (8, 8, 8, 8)),
+                    jnp.float32)
+    oh = jnp.asarray(onehot_padded(
+        np.random.default_rng(0).integers(0, 10, 8), 10,
+        8 * 8 * 12))
+    newp, loss = step(params, x, oh)
+    assert np.isfinite(float(loss))
+
+
+def test_tflite_residual_identity_import():
+    """ADD with identity skip imports as ResidualBlock, bit-equal to the
+    hand-built block with the same quantized weights."""
+    from mandheling_tpu.nn.blocks import ResidualBlock
+    from mandheling_tpu.nn.layers import NITIConv2D
+    from mandheling_tpu.nn.module import Sequential
+
+    rng = np.random.default_rng(6)
+    wt = rng.normal(0, 0.3, (8, 3, 3, 8)).astype(np.float32)  # OHWI
+    w = T.TFLiteWriter()
+    inp = w.tensor((1, 8, 8, 8), name="in")
+    cw = w.const(wt)
+    c0 = w.tensor((1, 8, 8, 8))
+    w.op(T.CONV_2D, [inp, cw, -1], [c0], T.OPT_CONV2D,
+         {"padding": T.PAD_SAME, "stride": (1, 1)})
+    j = w.tensor((1, 8, 8, 8))
+    w.op(T.ADD, [c0, inp], [j], T.OPT_ADD, {})
+    buf = w.finish([inp], [j])
+
+    model, params = niti_model_from_tflite(buf)
+    assert isinstance(model.layers[0], ResidualBlock)
+
+    from mandheling_tpu.ops.qtensor import quantize_weights
+
+    hand = Sequential([
+        ResidualBlock(Sequential([
+            NITIConv2D(8, 8, (3, 3), (1, 1), "SAME"),
+        ])),
+    ])
+    hand_params = [[{"w": quantize_weights(
+        jnp.asarray(wt.transpose(1, 2, 3, 0), jnp.float32))}]]
+    rng2 = np.random.default_rng(0)
+    x = QTensor(jnp.asarray(rng2.integers(-64, 64, (2, 8, 8, 8)), jnp.int8),
+                jnp.int32(-5))
+    y1, _ = Sequential(model.layers[:-1]).fwd(params[:-1], x)
+    y2, _ = hand.fwd(hand_params, x)
+    np.testing.assert_array_equal(np.asarray(y1.data), np.asarray(y2.data))
 
 
 def test_tflite_imported_model_trains():

@@ -63,7 +63,17 @@ def main():
     ap.add_argument("--json", default=None, help="also dump rows to this file")
     ap.add_argument("--backend", default=None, choices=["xla", "pallas"],
                     help="kernel backend override")
+    ap.add_argument("--dw", default=None, choices=["taps", "grouped"],
+                    help="depthwise acc implementation override")
+    ap.add_argument("--sps", action="store_true",
+                    help="also measure wall samples/s (differential "
+                         "device loop, the bench.py methodology)")
     args = ap.parse_args()
+
+    if args.dw:
+        from mandheling_tpu.ops import depthwise
+
+        depthwise.set_dw_impl(args.dw)
 
     from mandheling_tpu.ops.kernels import use_backend
     from mandheling_tpu.utils import profiler, xplane
@@ -76,6 +86,33 @@ def main():
     if ctx:
         ctx.__enter__()
     try:
+        if args.sps:
+            import time
+
+            import numpy as np
+
+            @jax.jit
+            def run(p, iters):
+                def body(i, carry):
+                    p, acc = carry
+                    p, loss = fn(p)
+                    return (p, acc + loss)
+
+                _, acc = jax.lax.fori_loop(
+                    0, iters, body, (p, jnp.float32(0)))
+                return acc
+
+            lo, hi = jnp.int32(5), jnp.int32(45)
+            np.asarray(run(params, lo)); np.asarray(run(params, hi))
+            deltas = []
+            for _ in range(3):
+                t0 = time.perf_counter(); np.asarray(run(params, lo))
+                t1 = time.perf_counter(); np.asarray(run(params, hi))
+                t2 = time.perf_counter()
+                deltas.append(((t2 - t1) - (t1 - t0)) / 40)
+            dt = float(np.median(deltas))
+            print(f"WALL: {dt*1e3:.3f} ms/step, "
+                  f"{args.batch/dt:.0f} samples/s")
         rows, cats = profiler.per_op_profile(fn, params, iters=args.iters)
     finally:
         if ctx:

@@ -2,8 +2,11 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — the
 LeNet/MNIST int8-vs-fp32 headline comparable across rounds — and writes
-BENCH_DETAIL_r02.json with every case (CIFAR-scale MobileNetV2/ResNet18
-int8 throughput, backend used per case).
+BENCH_DETAIL_r03.json with every case: CIFAR-scale MobileNetV2/ResNet18
+int8 throughput AND their fp32 train-step counterparts (the reference's
+own MnistTrain-vs-NITIInt8Train comparison axis, demo/MnistUtils.cpp:35,
+338, extended to the model zoo per the r2 verdict), plus per-case
+int8-vs-fp32 speedups.
 
 Measurement: the step loop runs INSIDE one jitted program (lax.fori_loop
 with params as carry) and the summed loss is read back to the host — pure
@@ -164,6 +167,47 @@ def bench_cifar_model(name, batch=256):
         )
 
 
+def bench_cifar_fp32(name, batch=256):
+    """fp32 train-step counterpart (conv+BN model, SGD momentum) for the
+    int8-vs-fp32 speedup at model scale."""
+    from mandheling_tpu.train.optim import sgd_init, sgd_update
+
+    if name == "mobilenet_v2":
+        from mandheling_tpu.models.mobilenet_fp32 import MobileNetV2FP32
+
+        model = MobileNetV2FP32(num_classes=10)
+    else:
+        from mandheling_tpu.models.resnet_fp32 import ResNet18FP32
+
+        model = ResNet18FP32(num_classes=10)
+    params = model.init(jax.random.PRNGKey(0))
+    velocity = sgd_init(params)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (batch, 32, 32, 3)), jnp.float32)
+    y = rng.integers(0, 10, batch)
+    oh = jnp.zeros((batch, 10), jnp.float32).at[jnp.arange(batch), y].set(1.0)
+
+    def loss_fn(p):
+        logits, new_p = model.apply(p, x, training=True)
+        loss = -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * oh, axis=-1))
+        return loss, new_p
+
+    def step(state):
+        p, v = state
+        (loss, new_p), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        p2, v = sgd_update(p, g, v, 0.01)
+        # BN running stats come from the forward pass, not the SGD update
+        p2 = jax.tree_util.tree_map_with_path(
+            lambda path, a, b: b
+            if getattr(path[-1], "key", None) in ("mean", "var") else a,
+            p2, new_p,
+        )
+        return (p2, v), loss
+
+    return _device_loop_sps(step, (params, velocity), batch,
+                            iters_lo=5, iters_hi=45)
+
+
 def main():
     t_start = time.time()
     detail = {"cases": [], "backend_choice": dict(_BACKEND_CHOICE)}
@@ -178,28 +222,40 @@ def main():
         {"case": "lenet_fp32_b2048", "samples_per_sec": round(fp32_sps, 1)}
     )
 
-    # CIFAR-scale models, budget-permitting (compiles dominate)
+    # CIFAR-scale models + fp32 counterparts, budget-permitting
+    sps_by_case = {}
     for name in ("mobilenet_v2", "resnet18"):
-        if time.time() - t_start > TIME_BUDGET_S - 180:
-            detail["cases"].append({"case": f"{name}_niti_int8_b256",
-                                    "skipped": "time budget"})
-            continue
-        try:
-            sps = bench_cifar_model(name)
-            detail["cases"].append(
-                {"case": f"{name}_niti_int8_b256",
-                 "samples_per_sec": round(sps, 1),
-                 "backend": _BACKEND_CHOICE[name]}
-            )
-        except Exception as e:
-            detail["cases"].append(
-                {"case": f"{name}_niti_int8_b256",
-                 "error": f"{type(e).__name__}: {e}"[:160]}
-            )
+        for kind in ("int8", "fp32"):
+            case = (f"{name}_niti_int8_b256" if kind == "int8"
+                    else f"{name}_fp32_b256")
+            if time.time() - t_start > TIME_BUDGET_S - 120:
+                detail["cases"].append({"case": case,
+                                        "skipped": "time budget"})
+                continue
+            try:
+                if kind == "int8":
+                    sps = bench_cifar_model(name)
+                    row = {"case": case, "samples_per_sec": round(sps, 1),
+                           "backend": _BACKEND_CHOICE[name]}
+                else:
+                    sps = bench_cifar_fp32(name)
+                    row = {"case": case, "samples_per_sec": round(sps, 1)}
+                sps_by_case[case] = sps
+                detail["cases"].append(row)
+            except Exception as e:
+                detail["cases"].append(
+                    {"case": case,
+                     "error": f"{type(e).__name__}: {e}"[:160]}
+                )
+    for name in ("mobilenet_v2", "resnet18"):
+        i8 = sps_by_case.get(f"{name}_niti_int8_b256")
+        f32 = sps_by_case.get(f"{name}_fp32_b256")
+        if i8 and f32:
+            detail.setdefault("int8_vs_fp32", {})[name] = round(i8 / f32, 3)
 
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL_r02.json"), "w") as f:
+                               "BENCH_DETAIL_r03.json"), "w") as f:
             json.dump(detail, f, indent=1)
     except OSError:
         pass

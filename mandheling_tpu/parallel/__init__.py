@@ -1,14 +1,13 @@
-from . import mesh, pp, sharded_step
+from . import mesh, pp, pp_general, sharded_step
 from .mesh import DATA_AXIS, MODEL_AXIS, data_mesh, make_mesh
 from . import tp
 from .pp import (
     PIPE_AXIS,
-    init_pp_params,
-    make_pp_train_step,
+    homogeneous_blocks,
     pipe_mesh,
     quantize_microbatches,
-    shard_pp_params,
 )
+from .pp_general import GPipePlan, make_gpipe_train_step, shard_packed_params
 from .sharded_step import (
     make_dp_eval_step,
     make_dp_train_step,
@@ -19,6 +18,7 @@ from .sharded_step import (
 __all__ = [
     "mesh",
     "pp",
+    "pp_general",
     "sharded_step",
     "DATA_AXIS",
     "MODEL_AXIS",
@@ -27,11 +27,12 @@ __all__ = [
     "make_mesh",
     "make_dp_eval_step",
     "make_dp_train_step",
-    "make_pp_train_step",
-    "init_pp_params",
+    "GPipePlan",
+    "make_gpipe_train_step",
+    "shard_packed_params",
+    "homogeneous_blocks",
     "pipe_mesh",
     "quantize_microbatches",
-    "shard_pp_params",
     "replicate",
     "shard_batch",
 ]

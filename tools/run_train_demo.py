@@ -237,11 +237,14 @@ def pipeline_niti_train(args):
 
     from mandheling_tpu.data import onehot_padded
     from mandheling_tpu.parallel.pp import (
-        init_pp_params,
-        make_pp_train_step,
+        homogeneous_blocks,
         pipe_mesh,
         quantize_microbatches,
-        shard_pp_params,
+    )
+    from mandheling_tpu.parallel.pp_general import (
+        GPipePlan,
+        make_gpipe_train_step,
+        shard_packed_params,
     )
 
     n = len(jax.devices())
@@ -250,10 +253,12 @@ def pipeline_niti_train(args):
     mesh = pipe_mesh(n_stages=stages)
     print(f"mesh: {stages} pipeline stages, {blocks} blocks, "
           f"{micro} microbatches x {mb}")
-    step = make_pp_train_step(mesh, n_microbatches=micro, donate=False)
-    params = shard_pp_params(
-        mesh, init_pp_params(jax.random.PRNGKey(0), blocks, channels)
-    )
+    model = homogeneous_blocks(blocks, channels)
+    params = model.init(jax.random.PRNGKey(0))
+    plan = GPipePlan(model, params, (mb, 1, 1, channels), n_stages=stages)
+    step = make_gpipe_train_step(plan, mesh, n_microbatches=micro,
+                                 donate=False)
+    packed = shard_packed_params(mesh, plan.pack_params(params))
     rng = np.random.default_rng(0)
     wstar = rng.normal(0, 1, (channels, 10))
     for it in range(args.epochs * 8):
@@ -261,7 +266,7 @@ def pipeline_niti_train(args):
         labels = np.argmax(xf.reshape(-1, channels) @ wstar, axis=1)
         oh = onehot_padded(labels, 10, channels).reshape(micro, mb, channels)
         x_d, x_e = quantize_microbatches(jnp.asarray(xf), micro)
-        params, loss = step(params, x_d, x_e, jnp.asarray(oh))
+        packed, loss = step(packed, x_d, x_e, jnp.asarray(oh))
         if it % 8 == 0:
             print(f"iter {it}: loss {float(loss):.4f}")
     print(f"final loss: {float(loss):.4f}")

@@ -150,3 +150,74 @@ def train_fp32(
             f"[{timer.summary()}]"
         )
     return params, acc
+
+def train_fp32_bn(
+    model,
+    train_data,
+    test_data,
+    epochs: int = 10,
+    batch: int = 64,
+    seed: int = 0,
+    num_classes: int = 10,
+    log: Callable[[str], None] = print,
+):
+    """fp32 training loop for the BN-carrying float models
+    (MobileNetV2FP32/ResNet18FP32 style: apply -> (logits, new_params with
+    updated running stats)). Momentum SGD + inv-lr, same protocol as
+    train_fp32 — the fp32 comparison axis for the CIFAR-geometry configs
+    (reference MobilenetV2Utils::train, demo/MobilenetV2Utils.cpp:34)."""
+    params = model.init(jax.random.PRNGKey(seed))
+    velocity = sgd_init(params)
+
+    def loss_fn(p, x, onehot):
+        logits, new_p = model.apply(p, x, training=True)
+        loss = -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * onehot, axis=-1))
+        return loss, new_p
+
+    @jax.jit
+    def step(p, v, x, onehot, lr):
+        (loss, new_p), g = jax.value_and_grad(loss_fn, has_aux=True)(p, x, onehot)
+        p2, v = sgd_update(p, g, v, lr)
+        p2 = jax.tree_util.tree_map_with_path(
+            lambda path, a, b: b
+            if getattr(path[-1], "key", None) in ("mean", "var") else a,
+            p2, new_p,
+        )
+        return p2, v, loss
+
+    @jax.jit
+    def predict(p, x):
+        logits, _ = model.apply(p, x, training=False)
+        return jnp.argmax(logits, axis=-1)
+
+    x, y = train_data
+    xt, yt = test_data
+    dl = make_loader(x, y, batch, seed=seed)
+    it = 0
+    acc = 0.0
+    for epoch in range(epochs):
+        timer = StepTimer()
+        loss = None
+        for bx, by in dl.epoch():
+            bx = (bx / 255.0 - 0.5) * 2.0
+            oh = onehot_padded(by, 10, num_classes).astype(np.float32)
+            with timer.step(batch):
+                params, velocity, loss = step(
+                    params, velocity, jnp.asarray(bx), jnp.asarray(oh),
+                    lr_inv(0.01, it),
+                )
+            it += 1
+        n = max((len(xt) // batch) * batch, batch) if len(xt) >= batch else len(xt)
+        correct = 0
+        count = 0
+        for i in range(0, len(xt) - batch + 1, batch):
+            bx = (xt[i : i + batch].astype(np.float32) / 255.0 - 0.5) * 2.0
+            pred = predict(params, jnp.asarray(bx))
+            correct += int(np.sum(np.asarray(pred) == yt[i : i + batch]))
+            count += batch
+        acc = correct / max(count, 1)
+        log(
+            f"epoch {epoch}: loss {float(loss):.4f} test_acc {acc:.4f} "
+            f"[{timer.summary()}]"
+        )
+    return params, acc

@@ -1,7 +1,7 @@
 """Worker process for the multi-host DP test (not a pytest file).
 
 Usage: python multihost_worker.py <port> <process_id> <num_processes>
-           <local_devices> <steps> <out_npz>
+           <local_devices> <steps> <out_npz> [allreduce_mode]
 
 Runs `steps` data-parallel NITI LeNet train steps over the global mesh on
 deterministic data (same seed in every process; each process feeds only its
@@ -14,6 +14,7 @@ import os
 import sys
 
 port, pid, nproc, ndev, steps, out = sys.argv[1:7]
+armode = sys.argv[7] if len(sys.argv) > 7 else "int32"
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
@@ -31,7 +32,10 @@ from mandheling_tpu.parallel.sharded_step import make_dp_train_step  # noqa: E40
 
 
 def main():
+    from mandheling_tpu.ops import allreduce
+
     dist.initialize(f"localhost:{port}", int(nproc), int(pid))
+    allreduce.set_grad_allreduce(armode)
     assert jax.process_count() == int(nproc)
     mesh = dist.make_global_mesh()
 

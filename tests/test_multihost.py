@@ -25,8 +25,11 @@ from mandheling_tpu.parallel import data_mesh, make_dp_train_step, replicate, sh
 STEPS = 3
 
 
-def _reference_single_process():
+def _reference_single_process(armode="int32"):
     """8-device single-process DP, same data protocol as the worker."""
+    from mandheling_tpu.ops import allreduce
+
+    allreduce.set_grad_allreduce(armode)
     mesh = data_mesh(8)
     model = lenet_niti()
     params = replicate(mesh, model.init(jax.random.PRNGKey(0)))
@@ -84,5 +87,45 @@ def test_two_process_dp_bit_identical_to_single_process(tmp_path):
 
     assert mh_losses == ref_losses
     assert len(mh_leaves) == len(ref_leaves)
+    for a, b in zip(mh_leaves, ref_leaves):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.multihost
+@pytest.mark.slow
+def test_two_process_dp_int8_allreduce_bit_identical(tmp_path):
+    """Multi-host DP composed with the 1-byte-per-element int8 gradient
+    allreduce (ops/allreduce.py): the exponent-aligned int8 psum is exact
+    integer addition, so 2 processes x 4 devices must still be
+    bit-identical to the single-process 8-device run in the SAME mode."""
+    port = _free_port()
+    out = str(tmp_path / "mh_params_int8.npz")
+    workers = []
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    script = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    for pid in range(2):
+        workers.append(
+            subprocess.Popen(
+                [sys.executable, script, str(port), str(pid), "2", "4",
+                 str(STEPS), out, "int8"],
+                env={**env, "PYTHONPATH": ""},
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+        )
+    logs = []
+    for w in workers:
+        stdout, _ = w.communicate(timeout=300)
+        logs.append(stdout.decode(errors="replace"))
+    assert all(w.returncode == 0 for w in workers), "\n".join(logs)
+
+    ref_leaves, ref_losses = _reference_single_process("int8")
+    with np.load(out) as z:
+        mh_leaves = [z[k] for k in z.files]
+    mh_losses = json.load(open(out + ".losses.json"))
+
+    assert mh_losses == ref_losses
     for a, b in zip(mh_leaves, ref_leaves):
         np.testing.assert_array_equal(a, b)

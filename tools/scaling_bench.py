@@ -74,6 +74,36 @@ def measure_dp(n_devices: int) -> float:
     return batch / dt
 
 
+def measure_multihost(nproc: int, ndev_each: int, armode: str):
+    """Spawn nproc jax.distributed workers (ndev_each virtual devices each)
+    running tools/multihost_bench_worker.py; returns process-0 samples/s."""
+    import socket
+    import tempfile
+
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    here = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(here, "multihost_bench_worker.py")
+    out = tempfile.mktemp(suffix=".json")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(i), str(nproc),
+             str(ndev_each), str(PER_DEVICE_BATCH), armode, out],
+            env=env,
+        )
+        for i in range(nproc)
+    ]
+    rcs = [p.wait(timeout=600) for p in procs]
+    if any(rcs) or not os.path.exists(out):
+        return None
+    with open(out) as f:
+        return json.load(f)["samples_per_sec"]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="SCALING_r02.json")
@@ -106,6 +136,30 @@ def main():
                 row["scaling_efficiency"] = round(sps / (base * n), 3)
         rows.append(row)
         print(json.dumps(rows[-1]), flush=True)
+
+    # the promised 2-process row: 2 x N/2 devices through the real
+    # jax.distributed multi-host path (cross-process allreduce on the wire)
+    n_total = max(n for n in args.devices if n <= len(jax.devices()))
+    if n_total >= 2:
+        for armode in ("int32", "int8"):
+            sps = measure_multihost(2, n_total // 2, armode)
+            if sps is None:
+                rows.append({"devices": n_total, "processes": 2,
+                             "allreduce": armode, "error": "worker failed"})
+            else:
+                row = {"devices": n_total, "processes": 2,
+                       "allreduce": armode,
+                       "samples_per_sec": round(sps, 1)}
+                if base:
+                    row["throughput_retained_vs_1dev"] = round(sps / base, 3)
+                one_proc = next((r["samples_per_sec"] for r in rows
+                                 if r.get("devices") == n_total
+                                 and r.get("processes") == 1), None)
+                if one_proc:
+                    row["vs_single_process_same_devices"] = round(
+                        sps / one_proc, 3)
+                rows.append(row)
+            print(json.dumps(rows[-1]), flush=True)
 
     payload = {
         "platform": jax.devices()[0].platform,

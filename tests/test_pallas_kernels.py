@@ -3,6 +3,7 @@ MNN_HEXAGON_DSP_SIMU CPU simulation of DSP numerics + *_ref op pairs,
 SURVEY.md section 4). All backends must produce identical int32 accumulators.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -252,3 +253,69 @@ def test_fused_depthwise_parity(stride):
     with use_backend("pallas_interpret"):
         f1 = dw_ops.dwconv2d_filter_grad(x, gy, (3, 3), stride, "SAME")
     np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+
+
+@pytest.mark.parametrize("shape", [(128, 10, 10, 40), (128, 8, 16, 32),
+                                   (256, 4, 4, 64)])
+def test_dwconv_blanes_parity(shape):
+    """Batch-on-lanes depthwise kernel (r3): interpret-mode two-phase
+    output must be bit-equal to the XLA grouped conv + shared requant."""
+    import jax.numpy as jnp
+
+    from mandheling_tpu.ops import numerics
+    from mandheling_tpu.ops.kernels import dwconv_blanes_int8 as KB
+
+    B, H, W, C = shape
+    kh = kw = 3
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.integers(-50, 50, (B, H + 2, W + 2, C)).astype(np.int8))
+    w = jnp.asarray(rng.integers(-50, 50, (kh, kw, 1, C)).astype(np.int8))
+    acc = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C, preferred_element_type=jnp.int32)
+    m_ref = jnp.max(jnp.abs(acc))
+    bw = numerics.range_estimate_from_max(m_ref)
+    shift = numerics.forward_shift(bw)
+    y_ref, _ = numerics.requant_forward_from_bw(acc, jnp.int32(0), bw)
+
+    assert KB.supports(H + 2, W + 2, C, B, kh, kw)
+    xt = jnp.transpose(x, (1, 2, 3, 0))
+    w2 = w.reshape(kh * kw, C).T
+    m = KB.dwconv_max_blanes(xt, w2, (kh, kw), interpret=True)
+    assert int(m) == int(m_ref)
+    yt = KB.dwconv_requant_blanes(xt, w2, shift, (kh, kw), interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.transpose(yt, (3, 0, 1, 2))), np.asarray(y_ref))
+
+
+def test_dw_impl_selector_cross_parity():
+    """dwconv2d_forward must produce identical results under every
+    _DW_IMPL routing (taps / grouped; pallas falls back cleanly on
+    unsupported shapes and is covered in interpret form above)."""
+    import jax.numpy as jnp
+
+    from mandheling_tpu.ops import depthwise as dw_ops
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.integers(-40, 40, (8, 9, 9, 24)).astype(np.int8))
+    w = jnp.asarray(rng.integers(-40, 40, (3, 3, 1, 24)).astype(np.int8))
+    e = jnp.int32(-4)
+    outs = {}
+    for impl in ("taps", "grouped"):
+        dw_ops.set_dw_impl(impl)
+        try:
+            for stride in ((1, 1), (2, 2)):
+                y, ye = dw_ops.dwconv2d_forward(x, e, w, e, stride, "SAME")
+                outs.setdefault(stride, []).append(
+                    (np.asarray(y), int(ye)))
+                g = dw_ops.dwconv2d_input_grad(
+                    y, w, (9, 9), stride, "SAME")
+                outs[stride].append((np.asarray(g), 0))
+        finally:
+            dw_ops.set_dw_impl("taps")
+    for stride, results in outs.items():
+        half = len(results) // 2
+        for (a, ea), (b, eb) in zip(results[:half], results[half:]):
+            np.testing.assert_array_equal(a, b)
+            assert ea == eb

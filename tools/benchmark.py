@@ -58,8 +58,13 @@ HEADLINE = [
 ]
 
 
-def _device_ms(step_like):
-    """step_like(dep_scalar) -> new dep scalar; returns ms/iter."""
+def _device_ms(step_like, rounds: int = 5, min_total_ms: float = 50.0):
+    """step_like(dep_scalar) -> new dep scalar; returns ms/iter.
+
+    Median of `rounds` LO/HI differentials; the iteration counts are
+    scaled up until the HI run is expected to take >= min_total_ms so the
+    relay's dispatch jitter cannot swamp sub-ms kernels (a single
+    differential measured the mobilenet-v1 b1 latency *negative*)."""
 
     @jax.jit
     def run(iters):
@@ -68,15 +73,24 @@ def _device_ms(step_like):
 
         return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
 
-    lo, hi = jnp.int32(LO), jnp.int32(HI)
-    np.asarray(run(lo))
-    np.asarray(run(hi))
+    lo_i, hi_i = LO, HI
+    np.asarray(run(jnp.int32(lo_i)))
     t0 = time.perf_counter()
-    np.asarray(run(lo))
-    t1 = time.perf_counter()
-    np.asarray(run(hi))
-    t2 = time.perf_counter()
-    return 1e3 * ((t2 - t1) - (t1 - t0)) / (HI - LO)
+    np.asarray(run(jnp.int32(hi_i)))
+    est_ms = 1e3 * (time.perf_counter() - t0)
+    if est_ms < min_total_ms:
+        scale = int(np.ceil(min_total_ms / max(est_ms, 1e-3)))
+        lo_i, hi_i = lo_i * scale, hi_i * scale
+        np.asarray(run(jnp.int32(hi_i)))  # warm the scaled loop
+    deltas = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        np.asarray(run(jnp.int32(lo_i)))
+        t1 = time.perf_counter()
+        np.asarray(run(jnp.int32(hi_i)))
+        t2 = time.perf_counter()
+        deltas.append(1e3 * ((t2 - t1) - (t1 - t0)) / (hi_i - lo_i))
+    return float(np.median(deltas))
 
 
 def build(name, batch):

@@ -356,6 +356,61 @@ def onnx_import_train(args):
     print(f"final loss: {float(loss):.4f}")
 
 
+@demo("TfImportTrain")
+def tf_import_train(args):
+    """turnModelToTrainable from a TensorFlow frozen graph: build a demo
+    GraphDef (residual block included), import it as a trainable NITI
+    model (utils/tf_model.py), train a few steps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mandheling_tpu.data import onehot_padded
+    from mandheling_tpu.train import make_train_step
+    from mandheling_tpu.utils import tf_graphdef as G
+    from mandheling_tpu.utils.tf_model import niti_model_from_graphdef
+
+    rng = np.random.default_rng(0)
+    F = np.float32
+    DT = ("dtype", G.DT_FLOAT)
+
+    def const(name, arr):
+        return (name, "Const", [], {"dtype": DT, "value": np.asarray(arr, F)})
+
+    nodes = [
+        ("input", "Placeholder", [], {"dtype": DT}),
+        const("w0", rng.normal(0, 0.2, (5, 5, 1, 8)).astype(F)),
+        ("conv0", "Conv2D", ["input", "w0"],
+         {"strides": [1, 1, 1, 1], "padding": "SAME"}),
+        ("relu0", "Relu", ["conv0"], {}),
+        const("w1", rng.normal(0, 0.2, (3, 3, 8, 8)).astype(F)),
+        ("conv1", "Conv2D", ["relu0", "w1"],
+         {"strides": [1, 1, 1, 1], "padding": "SAME"}),
+        ("res", "AddV2", ["conv1", "relu0"], {}),
+        ("relu1", "Relu", ["res"], {}),
+        const("axes", np.asarray([1, 2], np.int32)),
+        ("gap", "Mean", ["relu1", "axes"], {"keep_dims": True}),
+        const("shape", np.asarray([-1, 8], np.int32)),
+        ("flat", "Reshape", ["gap", "shape"], {}),
+        const("wf", rng.normal(0, 0.1, (8, 12)).astype(F)),
+        ("logits", "MatMul", ["flat", "wf"], {"transpose_b": False}),
+    ]
+    buf = G.build_graphdef(nodes)
+    model, params = niti_model_from_graphdef(buf, input_shape=(1, 28, 28, 1))
+    print(f"imported {len(model.layers)} NITI layers from the frozen graph "
+          f"({[type(l).__name__ for l in model.layers]})")
+    step = jax.jit(make_train_step(model))
+    (x, y), _ = _data(args.root)
+    for it in range(args.epochs * 16):
+        i0 = (it * 64) % (len(x) - 64)
+        xf = jnp.asarray(x[i0 : i0 + 64].astype(np.float32))
+        oh = jnp.asarray(onehot_padded(y[i0 : i0 + 64], 10, 12))
+        params, loss = step(params, xf, oh)
+        if it % 16 == 0:
+            print(f"iter {it}: loss {float(loss):.4f}")
+    print(f"final loss: {float(loss):.4f}")
+
+
 @demo("TFLiteImportTrain")
 def tflite_import_train(args):
     """turnModelToTrainable from TFLite: export a NITI LeNet to a .tflite

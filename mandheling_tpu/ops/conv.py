@@ -383,13 +383,15 @@ def conv2d_filter_grad_acc(
     strategy = _FILTER_GRAD_STRATEGY
     stride1 = tuple(stride) == (1, 1)
     if strategy == "auto":
-        # The conv formulation runs with ic as the conv batch — measured on
-        # TPU it degenerates when ic is small (a batch-1 conv with a huge
-        # moving window: 0.65 ms vs ~0.07 ms class for the LeNet 1-channel
-        # first layer); the correlation form keeps one large MXU GEMM — the
-        # analog of the reference's shape-threshold strategy selection
-        # (NITI_DSPConv_Int8_Grad.cpp:133-232).
-        strategy = "corr" if x.shape[-1] <= 8 and stride1 else "conv"
+        # Shape-threshold strategy selection — the analog of the
+        # reference's per-shape gradient-op choice
+        # (NITI_DSPConv_Int8_Grad.cpp:133-232). r1 routed ic<=8 to the
+        # correlation form because the "conv" form's PHYSICAL transposes
+        # dominated; with r3's logical dimension numbers the conv form
+        # wins everywhere but single-channel inputs (measured,
+        # tools/probes/fgrad_stem_probe.py: 3ch stem 0.036 vs 0.815 ms,
+        # 8ch 0.0055 vs 0.430 ms; 1ch LeNet stem: corr 0.487 vs 0.639 ms).
+        strategy = "corr" if x.shape[-1] == 1 and stride1 else "conv"
     if strategy == "matmul":
         return _filter_grad_acc_matmul(x, gy, kernel_spatial, stride, padding)
     if strategy == "corr" and stride1:

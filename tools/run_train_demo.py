@@ -411,6 +411,58 @@ def tf_import_train(args):
     print(f"final loss: {float(loss):.4f}")
 
 
+@demo("CaffeImportTrain")
+def caffe_import_train(args):
+    """turnModelToTrainable from a binary .caffemodel: build a demo net
+    (conv+BN+Scale with in-place ReLUs, Eltwise residual), import it as a
+    trainable NITI model (utils/caffe_model.py), train a few steps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mandheling_tpu.data import onehot_padded
+    from mandheling_tpu.train import make_train_step
+    from mandheling_tpu.utils.caffe_model import (
+        build_caffemodel,
+        niti_model_from_caffemodel,
+    )
+
+    rng = np.random.default_rng(0)
+    F = np.float32
+    layers = [
+        ("conv0", "Convolution", ["data"], ["c0"],
+         {"num_output": 8, "kernel_size": 5, "pad": 2},
+         [rng.normal(0, 0.2, (8, 1, 5, 5)).astype(F)]),
+        ("relu0", "ReLU", ["c0"], ["c0"], {}, []),
+        ("conv1", "Convolution", ["c0"], ["c1"],
+         {"num_output": 8, "kernel_size": 3, "pad": 1},
+         [rng.normal(0, 0.2, (8, 8, 3, 3)).astype(F)]),
+        ("bn1", "BatchNorm", ["c1"], ["c1"], {"use_global_stats": 1},
+         [np.zeros(8, F), np.ones(8, F), np.ones(1, F)]),
+        ("sc1", "Scale", ["c1"], ["c1"], {"axis": 1},
+         [rng.uniform(0.5, 1.5, 8).astype(F)]),
+        ("res", "Eltwise", ["c1", "c0"], ["r"], {"operation": 1}, []),
+        ("relu1", "ReLU", ["r"], ["r"], {}, []),
+        ("gap", "Pooling", ["r"], ["g"], {"pool": 1, "global_pooling": 1}, []),
+        ("fc", "InnerProduct", ["g"], ["logits"], {"num_output": 12},
+         [rng.normal(0, 0.1, (12, 8)).astype(F)]),
+    ]
+    buf = build_caffemodel(layers, ["data"], [[1, 1, 28, 28]])
+    model, params = niti_model_from_caffemodel(buf)
+    print(f"imported {len(model.layers)} NITI layers from the caffemodel "
+          f"({[type(l).__name__ for l in model.layers]})")
+    step = jax.jit(make_train_step(model))
+    (x, y), _ = _data(args.root)
+    for it in range(args.epochs * 16):
+        i0 = (it * 64) % (len(x) - 64)
+        xf = jnp.asarray(x[i0 : i0 + 64].astype(np.float32))
+        oh = jnp.asarray(onehot_padded(y[i0 : i0 + 64], 10, 12))
+        params, loss = step(params, xf, oh)
+        if it % 16 == 0:
+            print(f"iter {it}: loss {float(loss):.4f}")
+    print(f"final loss: {float(loss):.4f}")
+
+
 @demo("TFLiteImportTrain")
 def tflite_import_train(args):
     """turnModelToTrainable from TFLite: export a NITI LeNet to a .tflite

@@ -44,13 +44,14 @@ ITERS_HI = 210
 ROUNDS = 3
 TIME_BUDGET_S = 780  # leave headroom under the driver's timeout
 
-# measured on TPU v5e (tools/probes/backend_compare.py, round 2,
-# hoist-proof loop-carried timing): XLA wins every model-zoo train step —
-# lenet b2048 1.60M vs 1.57M samples/s, mobilenet_v2 b256 9527 vs 5502,
-# resnet18 b256 32962 vs 3020. The fused Pallas paths' two-phase recompute
-# + structural waste (banded) / per-grid-step overhead exceed the 3-pass
-# int32 HBM cost they avoid. Recorded as a finding; per-shape flips go
-# here as kernels improve.
+# measured on TPU v5e (r2 tools/probes/backend_compare.py + r3
+# dw_blanes_probe.py, hoist-proof loop-carried timing): XLA wins every
+# model-zoo train step — r3 numbers: lenet b2048 1.60M samples/s,
+# mobilenet_v2 b256 21.1k (2.2x r2 after the taps/bgc-fgrad formulation
+# fixes), resnet18 b256 36.8k; every hand Pallas kernel generation loses
+# (see README kernel finding — the exact-NITI requant's two-pass ceiling).
+# The Pallas paths are the SIMU/parity layer; per-shape flips go here if
+# that ever changes.
 _BACKEND_CHOICE = {
     "lenet": os.environ.get("BENCH_BACKEND", "xla"),
     "mobilenet_v2": os.environ.get("BENCH_BACKEND", "xla"),

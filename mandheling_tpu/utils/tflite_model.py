@@ -29,7 +29,14 @@ from typing import Dict, List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..nn.blocks import GlobalAvgPool, NITIAvgPool, NITIDepthwiseConv2D
+from ..nn.blocks import (
+    GlobalAvgPool,
+    NITIAvgPool,
+    NITIDepthwiseConv2D,
+    ParallelAdd,
+    ParallelConcat,
+    ResidualBlock,
+)
 from ..nn.layers import Flatten, NITIConv2D, NITIMaxPool, NITIRelu, SqueezeLogits
 from ..nn.module import Sequential
 from ..ops.qtensor import QTensor, quantize_weights
@@ -310,8 +317,59 @@ def tflite_from_sequential(model: Sequential, params, input_shape) -> bytes:
     def act_out(shape, name):
         return w.tensor(shape, name=name)
 
-    for i, (layer, p) in enumerate(zip(model.layers, params)):
-        lname = f"l{i}"
+    counter = [0]
+
+    def emit_seq(layers_list, params_list, cur, spatial, c, prefix):
+        for layer, p in zip(layers_list, params_list):
+            cur, spatial, c = emit_layer(layer, p, cur, spatial, c, prefix)
+        return cur, spatial, c
+
+    def emit_layer(layer, p, cur, spatial, c, prefix):
+        counter[0] += 1
+        lname = f"{prefix}l{counter[0]}"
+        if isinstance(layer, ResidualBlock):
+            out, sp, cc = emit_seq(layer.branch.layers, p, cur, spatial, c,
+                                   lname + "/b")
+            if (sp, cc) != (spatial, c):
+                raise ValueError("residual branch changed shape")
+            j = act_out(_shape(n, sp, cc), f"{lname}/add")
+            w.op(T.ADD, [out, cur], [j], T.OPT_ADD, {})
+            return j, sp, cc
+        if isinstance(layer, ParallelAdd):
+            outs = []
+            sp = cc = None
+            for bi, (branch, bp) in enumerate(zip(layer.branches, p)):
+                out, sp, cc = emit_seq(branch.layers, bp, cur, spatial, c,
+                                       f"{lname}/b{bi}")
+                outs.append(out)
+            j = outs[0]
+            for k, o in enumerate(outs[1:]):
+                nj = act_out(_shape(n, sp, cc), f"{lname}/add{k}")
+                w.op(T.ADD, [j, o], [nj], T.OPT_ADD, {})
+                j = nj
+            return j, sp, cc
+        if isinstance(layer, ParallelConcat):
+            outs, chans = [], []
+            sp = None
+            for bi, (branch, bp) in enumerate(zip(layer.branches, p)):
+                out, sp, cc = emit_seq(branch.layers, bp, cur, spatial, c,
+                                       f"{lname}/b{bi}")
+                outs.append(out)
+                chans.append(cc)
+            total = sum(chans)
+            j = act_out(_shape(n, sp, total), f"{lname}/cat")
+            w.op(T.CONCATENATION, outs, [j], T.OPT_CONCAT, {"axis": 3})
+            return j, sp, total
+        if type(layer).__name__ == "ProjectedResidualBlock":
+            out, sp, cc = emit_seq(layer.branch.layers, p["branch"], cur,
+                                   spatial, c, lname + "/b")
+            skip, sp2, cc2 = emit_layer(layer.proj, p["proj"], cur, spatial,
+                                        c, lname + "/p")
+            if (sp, cc) != (sp2, cc2):
+                raise ValueError("projected residual branches disagree")
+            j = act_out(_shape(n, sp, cc), f"{lname}/add")
+            w.op(T.ADD, [out, skip], [j], T.OPT_ADD, {})
+            return j, sp, cc
         if isinstance(layer, NITIConv2D) and layer.kernel == (1, 1) and spatial == (1, 1):
             # 1x1 conv on flattened features == FULLY_CONNECTED
             q = p["w"]
@@ -406,6 +464,9 @@ def tflite_from_sequential(model: Sequential, params, input_shape) -> bytes:
             raise ValueError(
                 f"layer {type(layer).__name__} unsupported by TFLite export"
             )
+        return cur, spatial, c
+
+    cur, spatial, c = emit_seq(model.layers, params, cur, spatial, c, "")
     return w.finish([0], [cur])
 
 

@@ -248,3 +248,48 @@ def test_tflite_same_padding_and_depthwise_roundtrip():
     y1, _ = model.fwd(params, x)
     y2, _ = model2.fwd(params2, x)
     np.testing.assert_array_equal(np.asarray(y1.data), np.asarray(y2.data))
+
+
+def test_tflite_branching_export_roundtrip():
+    """r3: branching models (residual / projected-residual / concat)
+    export to TFLite ADD/CONCATENATION ops and re-import bit-exactly —
+    the full train-in-framework -> deploy round trip for the model zoo."""
+    from mandheling_tpu.models.resnet import ProjectedResidualBlock
+    from mandheling_tpu.nn.blocks import ParallelConcat, ResidualBlock
+    from mandheling_tpu.nn.layers import NITIConv2D, NITIRelu, SqueezeLogits
+    from mandheling_tpu.nn.module import Sequential
+
+    model = Sequential([
+        NITIConv2D(3, 8, (3, 3), (1, 1), "SAME"),
+        NITIRelu(),
+        ResidualBlock(Sequential([
+            NITIConv2D(8, 8, (3, 3), (1, 1), "SAME"),
+            NITIRelu(),
+            NITIConv2D(8, 8, (3, 3), (1, 1), "SAME"),
+        ])),
+        NITIRelu(),
+        ProjectedResidualBlock(
+            Sequential([NITIConv2D(8, 16, (3, 3), (2, 2), "SAME")]),
+            NITIConv2D(8, 16, (1, 1), (2, 2)),
+        ),
+        ParallelConcat([
+            Sequential([NITIConv2D(16, 4, (1, 1))]),
+            Sequential([NITIConv2D(16, 4, (1, 1)), NITIRelu()]),
+        ]),
+        SqueezeLogits(),
+    ])
+    params = model.init(jax.random.PRNGKey(5))
+    buf = tflite_from_sequential(model, params, (2, 8, 8, 3))
+    m = T.load_tflite(buf)
+    names = [op.name for op in m.ops]
+    assert names.count("ADD") == 2
+    assert names.count("CONCATENATION") == 1
+
+    model2, params2 = niti_model_from_tflite(buf)
+    rng = np.random.default_rng(0)
+    x = QTensor(jnp.asarray(rng.integers(-64, 64, (2, 8, 8, 3)), jnp.int8),
+                jnp.int32(-5))
+    y1, _ = Sequential(model.layers[:-1]).fwd(params[:-1], x)
+    y2, _ = Sequential(model2.layers[:-1]).fwd(params2[:-1], x)
+    np.testing.assert_array_equal(np.asarray(y1.data), np.asarray(y2.data))
+    assert int(y1.exp) == int(y2.exp)

@@ -12,7 +12,7 @@ Dataset resolution order:
    images, the UCI optdigits test set) upsampled 4x and cropped to 28x28 so
    the exact reference LeNet geometry applies. Documented in the artifact.
 
-Writes ACCURACY_r02.json: per-epoch loss curves + final test accuracies for
+Writes the ACCURACY artifact: per-epoch loss curves + final test accuracies for
 both configs.
 
     python tools/accuracy_bench.py [--root mnist_dir] [--epochs 50]

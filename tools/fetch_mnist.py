@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Fetch the MNIST idx files (run where network egress exists; this build
-sandbox has none — see ACCURACY_r02.json for the substitute protocol).
+sandbox has none — see ACCURACY_r03.json for the substitute protocol).
 
     python tools/fetch_mnist.py [dest_dir]
 """

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Data-parallel scaling-efficiency harness -> SCALING_r0N.json.
+"""Data-parallel scaling-efficiency harness -> SCALING_r0N.json (default SCALING_r03).
 
 Measures samples/s of the DP NITI train step at 1 device vs N devices
 (fixed per-device batch, so perfect scaling = N x samples/s), plus a
@@ -13,7 +13,7 @@ numerics bit-identical per tests/test_multihost.py); chip-scaling numbers
 must come from real multi-chip hardware with the same entry points.
 
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python tools/scaling_bench.py --out SCALING_r02.json
+        python tools/scaling_bench.py --out SCALING_r03.json
 """
 
 import argparse
@@ -106,7 +106,7 @@ def measure_multihost(nproc: int, ndev_each: int, armode: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="SCALING_r02.json")
+    ap.add_argument("--out", default="SCALING_r03.json")
     ap.add_argument("--devices", type=int, nargs="*", default=[1, 2, 4, 8])
     args = ap.parse_args()
 

@@ -86,6 +86,27 @@ def get_dw_impl() -> str:
     return _DW_IMPL
 
 
+# Depthwise filter-grad requant margin (shift = bw - margin). The dense
+# NITI contract uses margin=2 (NITI_GradientConv_Int8.cpp:274-296), but
+# depthwise is THIS framework's extension — the reference has no NITI
+# depthwise op and trains its MobileNets in fp32 — and the dense margin is
+# measured unstable here: with only kh*kw-tap accumulation depth, bw-2
+# gradients reach weight magnitude and full-NITI MobileNetV1/V2 training
+# diverges (r3, ACCURACY_r03.json finding: loss -> 2^19 by epoch 14).
+# A larger margin damps the per-step integer update for dw kernels only;
+# the measured default is set by tools/probes/dw_margin_sweep.py.
+_DW_FGRAD_MARGIN = 2
+
+
+def set_dw_fgrad_margin(margin: int) -> None:
+    global _DW_FGRAD_MARGIN
+    _DW_FGRAD_MARGIN = int(margin)
+
+
+def get_dw_fgrad_margin() -> int:
+    return _DW_FGRAD_MARGIN
+
+
 def _dw_acc_taps(
     x: jax.Array,
     w: jax.Array,
@@ -303,7 +324,8 @@ def dwconv2d_filter_grad(
     acc = acc[:, :kh, :kw, :].transpose(1, 2, 0, 3)  # (kh, kw, 1, C)
     from . import allreduce
 
-    return allreduce.grad_allreduce_requant(acc, axis_name, margin=2)
+    return allreduce.grad_allreduce_requant(acc, axis_name,
+                                            margin=_DW_FGRAD_MARGIN)
 
 
 def avgpool2d_int8(

@@ -26,10 +26,16 @@ STEPS = 3
 
 
 def _reference_single_process(armode="int32"):
-    """8-device single-process DP, same data protocol as the worker."""
+    """8-device single-process DP, same data protocol as the worker.
+    Restores the global allreduce mode on exit (leaking "int8" made the
+    later TP bit-identity tests fail in full-suite order — r3)."""
     from mandheling_tpu.ops import allreduce
 
-    allreduce.set_grad_allreduce(armode)
+    with allreduce.use_grad_allreduce(armode):
+        return _reference_single_process_inner()
+
+
+def _reference_single_process_inner():
     mesh = data_mesh(8)
     model = lenet_niti()
     params = replicate(mesh, model.init(jax.random.PRNGKey(0)))

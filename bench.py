@@ -44,8 +44,8 @@ ITERS_HI = 210
 ROUNDS = 3
 TIME_BUDGET_S = 780  # leave headroom under the driver's timeout
 
-# measured on TPU v5e (r2 tools/probes/backend_compare.py + r3
-# dw_blanes_probe.py, hoist-proof loop-carried timing): XLA wins every
+# measured on TPU v5e (r2 tools/probes/backend_compare.py + r3 dw
+# probes, hoist-proof loop-carried timing): XLA wins every
 # model-zoo train step — r3 numbers: lenet b2048 1.60M samples/s,
 # mobilenet_v2 b256 21.1k (2.2x r2 after the taps/bgc-fgrad formulation
 # fixes), resnet18 b256 36.8k; every hand Pallas kernel generation loses

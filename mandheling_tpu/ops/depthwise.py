@@ -65,14 +65,12 @@ def _fused_dw_requant(
 #               conv+abs-reduce; taps never lower to a convolution)
 # Measured isolated (tools/probes/dw_fix_probe.py): taps ~= grouped at
 # 32x32, grouped slightly ahead at tiny spatial; the in-context step
-# measurement decides the default.
-#   "pallas"  — the batch-on-lanes two-phase Pallas kernel
-#               (kernels/dwconv_blanes_int8.py): zero-padding (32,128)
-#               tiles, taps as pure address offsets, int32 accumulator
-#               never in HBM; stride-1 (strided igrads pre-dilate), falls
-#               back to taps where unsupported
+# measurement decides the default. (A third batch-on-lanes Pallas
+# routing existed in r3 and measured 2x slower than either form on TPU;
+# it was removed in r4 — the surviving Pallas depthwise kernel is the
+# kernels/fused_dwconv_int8.py parity/SIMU layer only.)
 _DW_IMPL = "taps"
-_DW_VALID = ("taps", "grouped", "pallas")
+_DW_VALID = ("taps", "grouped")
 
 
 def set_dw_impl(name: str) -> None:
@@ -131,33 +129,6 @@ def _dw_acc_taps(
     return acc
 
 
-def _blanes_requant(
-    x: jax.Array,
-    w: jax.Array,
-    pad: Tuple[Tuple[int, int], Tuple[int, int]],
-    axis_name: Optional[str],
-    grad: bool = False,
-):
-    """Stride-1 depthwise through the batch-on-lanes Pallas kernel; the
-    cross-replica pmax slots between the max and requant phases. Returns
-    (int8 y NHWC, eff_shift) or None when the shape is unsupported."""
-    from .kernels import dwconv_blanes_int8 as KB
-
-    kh, kw, _, c = w.shape
-    b = x.shape[0]
-    hp = x.shape[1] + pad[0][0] + pad[0][1]
-    wp = x.shape[2] + pad[1][0] + pad[1][1]
-    if not KB.supports(hp, wp, c, b, kh, kw):
-        return None
-    xp = jnp.pad(x, ((0, 0), pad[0], pad[1], (0, 0)))
-    xt = jnp.transpose(xp, (1, 2, 3, 0))
-    w2 = w.reshape(kh * kw, c).T
-    m = _maybe_pmax(KB.dwconv_max_blanes(xt, w2, (kh, kw)), axis_name)
-    eff_shift = numerics.forward_shift(numerics.range_estimate_from_max(m))
-    yt = KB.dwconv_requant_blanes(xt, w2, eff_shift, (kh, kw), grad=grad)
-    return jnp.transpose(yt, (3, 0, 1, 2)), eff_shift
-
-
 def dwconv2d_int8_acc(
     x: jax.Array,
     w: jax.Array,
@@ -189,12 +160,6 @@ def dwconv2d_forward(
     axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     exp_in = x_exp.astype(jnp.int32) + w_exp.astype(jnp.int32)
-    if _DW_IMPL == "pallas" and tuple(stride) == (1, 1):
-        pad = resolve_padding(padding, w.shape[:2], stride, x.shape[1:3])
-        fused = _blanes_requant(x, w, pad, axis_name, grad=False)
-        if fused is not None:
-            y, eff_shift = fused
-            return y, exp_in + eff_shift
     interpret = _fused_enabled()
     if interpret is not None:
         pad = resolve_padding(padding, w.shape[:2], stride, x.shape[1:3])
@@ -246,21 +211,13 @@ def dwconv2d_input_grad(
         )
         if fused is not None:
             return fused[0]
-    if (_DW_IMPL in ("taps", "pallas")
+    if (_DW_IMPL == "taps"
             and min(pad_top, pad_left, pad_bottom, pad_right) >= 0):
         gy_d = gy
         if (sh, sw) != (1, 1):
             gy_d = jnp.zeros(
                 (gy.shape[0], dil_h, dil_w, gy.shape[3]), gy.dtype
             ).at[:, ::sh, ::sw, :].set(gy)
-        if _DW_IMPL == "pallas":
-            fused = _blanes_requant(
-                gy_d, w_rot,
-                ((pad_top, pad_bottom), (pad_left, pad_right)),
-                axis_name, grad=False,
-            )
-            if fused is not None:
-                return fused[0]
         acc = _dw_acc_taps(
             gy_d, w_rot, (1, 1),
             ((pad_top, pad_bottom), (pad_left, pad_right)),

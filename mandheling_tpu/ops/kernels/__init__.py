@@ -6,8 +6,8 @@ Role: the analog of the reference's MNN_HEXAGON_DSP_SIMU CPU simulation +
 hexagon `_ref` op pairs (SURVEY.md section 4): every kernel is bit-exact
 against the jnp/XLA lowering (interpret-mode + on-device parity tests,
 tests/test_pallas_kernels.py), strided-capable, and selectable via
-`use_backend("pallas"/"pallas_interpret")` or the depthwise
-`set_dw_impl("pallas")` — but the measured default everywhere is `xla`:
+`use_backend("pallas"/"pallas_interpret")` — but the measured default
+everywhere is `xla`:
 the exact-NITI requant needs the global max|acc| first, so two-phase
 on-chip-accumulator kernels pay 2x compute, which loses on compute-bound
 shapes to XLA's compute-once + spilled-accumulator form (measured r2+r3,

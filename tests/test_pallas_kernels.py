@@ -255,44 +255,9 @@ def test_fused_depthwise_parity(stride):
     np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
 
 
-@pytest.mark.parametrize("shape", [(128, 10, 10, 40), (128, 8, 16, 32),
-                                   (256, 4, 4, 64)])
-def test_dwconv_blanes_parity(shape):
-    """Batch-on-lanes depthwise kernel (r3): interpret-mode two-phase
-    output must be bit-equal to the XLA grouped conv + shared requant."""
-    import jax.numpy as jnp
-
-    from mandheling_tpu.ops import numerics
-    from mandheling_tpu.ops.kernels import dwconv_blanes_int8 as KB
-
-    B, H, W, C = shape
-    kh = kw = 3
-    rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.integers(-50, 50, (B, H + 2, W + 2, C)).astype(np.int8))
-    w = jnp.asarray(rng.integers(-50, 50, (kh, kw, 1, C)).astype(np.int8))
-    acc = jax.lax.conv_general_dilated(
-        x, w, (1, 1), ((0, 0), (0, 0)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=C, preferred_element_type=jnp.int32)
-    m_ref = jnp.max(jnp.abs(acc))
-    bw = numerics.range_estimate_from_max(m_ref)
-    shift = numerics.forward_shift(bw)
-    y_ref, _ = numerics.requant_forward_from_bw(acc, jnp.int32(0), bw)
-
-    assert KB.supports(H + 2, W + 2, C, B, kh, kw)
-    xt = jnp.transpose(x, (1, 2, 3, 0))
-    w2 = w.reshape(kh * kw, C).T
-    m = KB.dwconv_max_blanes(xt, w2, (kh, kw), interpret=True)
-    assert int(m) == int(m_ref)
-    yt = KB.dwconv_requant_blanes(xt, w2, shift, (kh, kw), interpret=True)
-    np.testing.assert_array_equal(
-        np.asarray(jnp.transpose(yt, (3, 0, 1, 2))), np.asarray(y_ref))
-
-
 def test_dw_impl_selector_cross_parity():
     """dwconv2d_forward must produce identical results under every
-    _DW_IMPL routing (taps / grouped; pallas falls back cleanly on
-    unsupported shapes and is covered in interpret form above)."""
+    _DW_IMPL routing (taps / grouped)."""
     import jax.numpy as jnp
 
     from mandheling_tpu.ops import depthwise as dw_ops

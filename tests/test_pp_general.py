@@ -120,9 +120,16 @@ def test_gpipe_lenet_microbatched_runs_and_learns():
         for a, b in zip(jax.tree.leaves(list(params)), jax.tree.leaves(got))
     )
     assert moved
-    # bounded delta: same decreasing trend, last loss within 0.5 absolute
+    # bounded delta: same decreasing trend; per-step |loss_m4 - loss_ref|
+    # gate set at 2x the measured deltas for THIS config (r4 calibration,
+    # batch 32 / M=4 / 10 steps on synthetic digits: per-step deltas
+    # 0.015/0.098/0.046/0.044 over the first 4 steps, max 0.24 deep into
+    # the noisy small-batch tail; PP_QUANT_r03.json records the
+    # epoch-level contract: final-loss delta 0.015, accuracy delta +0.05
+    # over 10 real epochs). 2 x max(first-3-step delta 0.098) = 0.2.
     assert losses[-1] < losses[0]
-    assert abs(losses[-1] - ref_losses[-1]) < 0.5, (losses, ref_losses)
+    for i, (a, b) in enumerate(zip(losses, ref_losses)):
+        assert abs(a - b) < 0.2, (i, losses, ref_losses)
 
 
 @pytest.mark.slow

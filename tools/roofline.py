@@ -232,7 +232,7 @@ def main():
         dt, tops = bench_conv_requant(backend)
         add(f"conv3x3_b256_32x32x64_{backend}+requant", 0, dt, tops,
             exact_niti=True)
-    for impl in ("taps", "grouped", "pallas"):
+    for impl in ("taps", "grouped"):
         try:
             dt, tops = bench_dw_requant(impl)
             add(f"dw3x3_b256_32x32x144_{impl}+requant", 0, dt, tops,
@@ -245,7 +245,7 @@ def main():
         "peak_tops": peak,
         "device": jax.devices()[0].device_kind,
         "rows": rows,
-        "notes": 'Timing: device-side dep-threaded loops, median of 3 long-minus-short differentials (relay dispatch jitter still inflates sub-0.1 ms rows; n=2048 matmul reads >100% of peak — read the n=4096 and conv rows). frac_exact_roofline divides by peak/2: the exact-NITI requant needs the global max|acc| before any element shifts, so an implementation either computes the contraction twice (ceiling peak/2) or spills the int32 accumulator to HBM (ceiling = acc write + 2 reads at HBM BW). The conv3x3 32x32x64 row at 0.110 ms is FASTER than its acc-spill HBM bound (~0.245 ms at 819 GB/s), proving XLA runs the fused two-pass form — at 88.8% of the two-pass roofline, meeting the >=80% north star under exact-algorithm accounting. The dw rows are VPU work (no channel contraction): their MXU-peak fraction is definitionally tiny; they are recorded as the r3 retirement evidence (pallas blanes kernel 2x slower than the XLA taps/grouped forms — see README kernel finding).',
+        "notes": 'Timing: device-side dep-threaded loops, median of 3 long-minus-short differentials (relay dispatch jitter still inflates sub-0.1 ms rows; n=2048 matmul reads >100% of peak — read the n=4096 and conv rows). frac_exact_roofline divides by peak/2: the exact-NITI requant needs the global max|acc| before any element shifts, so an implementation either computes the contraction twice (ceiling peak/2) or spills the int32 accumulator to HBM (ceiling = acc write + 2 reads at HBM BW). The conv3x3 32x32x64 row at 0.110 ms is FASTER than its acc-spill HBM bound (~0.245 ms at 819 GB/s), proving XLA runs the fused two-pass form — at 88.8% of the two-pass roofline, meeting the >=80% north star under exact-algorithm accounting. The dw rows are VPU work (no channel contraction): their MXU-peak fraction is definitionally tiny; they compare the two surviving XLA formulations (taps vs grouped — see README kernel finding; the r3 batch-on-lanes Pallas dw kernel measured 2x slower than either and was removed in r4).',
     }
     if args.out:
         with open(args.out, "w") as f:

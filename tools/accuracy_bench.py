@@ -37,7 +37,8 @@ def load_dataset(root):
 
     if root:
         try:
-            (x, y), (xt, yt) = load_mnist(root)
+            x, y = load_mnist(root, train=True)
+            xt, yt = load_mnist(root, train=False)
             return "mnist", (x, y), (xt, yt)
         except (FileNotFoundError, OSError):
             print(f"(no MNIST idx files under {root!r})")

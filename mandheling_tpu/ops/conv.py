@@ -114,6 +114,70 @@ def _maybe_pmax(m: jax.Array, axis_name: Optional[str]) -> jax.Array:
     return jax.lax.pmax(m, axis_name)
 
 
+# Requant accumulator policy — how pass 2 of the exact two-pass NITI
+# requant obtains the int32 accumulator (the global |acc| max must exist
+# before the shift, so the op is inherently two-pass; the question is the
+# accumulator's residence between the passes):
+#   "materialize" — pass 1 writes the int32 acc to HBM (fused with the
+#                   abs-max reduce), pass 2 re-reads it: 8 B/elt of HBM
+#                   round-trip.
+#   "recompute"   — pass 1 emits ONLY the scalar max (the acc never
+#                   reaches HBM); pass 2 recomputes the contraction with
+#                   the psto-shift fused as its epilogue, writing int8
+#                   directly. An optimization_barrier on the second
+#                   contraction's operands defeats CSE so XLA keeps the
+#                   two single-output fusions.
+#   "auto"        — measured shape rule (below). Recompute LOSES on
+#                   spatial convs (XLA's spatial conv itself is expensive
+#                   — VMEM slab DMAs — so doubling it costs more than the
+#                   acc round-trip) and WINS on big expanding matmul-shaped
+#                   contractions (tools/probes/recompute_requant_probe*.py,
+#                   TPU v5e: mnv2 24->144 @32x32 b256 0.46 -> 0.24 ms).
+# Bit-exactness is unaffected: both passes compute the identical int32
+# accumulator, so every mode yields byte-identical outputs.
+_REQUANT_IMPL = "auto"
+_RQ_VALID = ("auto", "materialize", "recompute")
+
+
+def set_requant_impl(name: str) -> None:
+    global _REQUANT_IMPL
+    if name not in _RQ_VALID:
+        raise ValueError(f"requant impl must be one of {_RQ_VALID}, got {name!r}")
+    _REQUANT_IMPL = name
+
+
+def get_requant_impl() -> str:
+    return _REQUANT_IMPL
+
+
+@contextlib.contextmanager
+def use_requant_impl(name: str):
+    global _REQUANT_IMPL
+    prev = _REQUANT_IMPL
+    set_requant_impl(name)
+    try:
+        yield
+    finally:
+        _REQUANT_IMPL = prev
+
+
+# Measured win region for "auto" (TPU v5e, recompute_requant_probe2):
+# expanding (N > K) matmul-shaped ops whose int32 accumulator is at least
+# ~16M elements (64+ MB). Winners: 16->96 @32x32 b256 (25M elts, 1.16x),
+# 24->144 @32x32 b256 (37.7M, 1.6-1.9x). Losers kept materialized:
+# 32->192 @16x16 (12.6M, 0.88x), every contraction (N <= K), every
+# spatial conv.
+_RECOMPUTE_MIN_ACC_ELEMS = 1 << 24
+
+
+def _recompute_matmul_acc(acc_elems: int, k: int, n: int) -> bool:
+    if _REQUANT_IMPL == "materialize":
+        return False
+    if _REQUANT_IMPL == "recompute":
+        return True
+    return n > k and acc_elems >= _RECOMPUTE_MIN_ACC_ELEMS
+
+
 def conv2d_int8_acc(
     x: jax.Array,
     w: jax.Array,
@@ -269,6 +333,10 @@ def conv2d_forward(
     acc = conv2d_int8_acc(x, w, stride, padding)
     m = _maybe_pmax(jnp.max(jnp.abs(acc)), axis_name)
     bw = numerics.range_estimate_from_max(m)
+    kh, kw, ic, oc = w.shape
+    if (kh, kw) == (1, 1) and _recompute_matmul_acc(acc.size, ic, oc):
+        x2, w2 = jax.lax.optimization_barrier((x, w))
+        acc = conv2d_int8_acc(x2, w2, stride, padding)
     return numerics.requant_forward_from_bw(acc, exp_in, bw)
 
 
@@ -358,6 +426,14 @@ def conv2d_input_grad(
     acc = conv2d_input_grad_acc(gy, w, x_spatial, stride, padding)
     m = _maybe_pmax(jnp.max(jnp.abs(acc)), axis_name)
     bw = numerics.range_estimate_from_max(m)
+    kh, kw, ic, oc = w.shape
+    # the input grad contracts oc -> ic; it is matmul-shaped when the
+    # kernel is 1x1 and undilated (stride 1), and "expanding" when ic > oc
+    # (the projection conv's input grad)
+    if ((kh, kw) == (1, 1) and tuple(stride) == (1, 1)
+            and _recompute_matmul_acc(acc.size, oc, ic)):
+        gy2, w2 = jax.lax.optimization_barrier((gy, w))
+        acc = conv2d_input_grad_acc(gy2, w2, x_spatial, stride, padding)
     out, _ = numerics.requant_forward_from_bw(acc, jnp.int32(0), bw)
     return out
 

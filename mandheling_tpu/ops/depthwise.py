@@ -18,7 +18,25 @@ import jax
 import jax.numpy as jnp
 
 from . import numerics
-from .conv import _fused_enabled, _maybe_pmax, resolve_padding
+from .conv import (
+    _fused_enabled,
+    _maybe_pmax,
+    get_requant_impl,
+    resolve_padding,
+)
+
+
+def _recompute_dw_acc(acc_elems: int) -> bool:
+    """Requant-acc policy for depthwise (see ops/conv.py). Measured
+    NEGATIVE for "auto": recomputing the taps form costs more than the acc
+    round-trip saves (MNv2 b256 step 23.9k -> 22.5k samples/s with dw
+    recompute at the dense threshold; isolated dw 144ch @32x32: 0.41 ->
+    0.82 ms) — the 9-tap int32 multiply-add chain re-reads its input 9
+    times from HBM, unlike a matmul whose recompute stays MXU-local. Auto
+    therefore always materializes for depthwise; the forced "recompute"
+    mode remains for probes."""
+    del acc_elems
+    return get_requant_impl() == "recompute"
 
 
 def _fused_dw_requant(
@@ -172,6 +190,9 @@ def dwconv2d_forward(
     acc = dwconv2d_int8_acc(x, w, stride, padding)
     m = _maybe_pmax(jnp.max(jnp.abs(acc)), axis_name)
     bw = numerics.range_estimate_from_max(m)
+    if _DW_IMPL == "taps" and _recompute_dw_acc(acc.size):
+        x2, w2 = jax.lax.optimization_barrier((x, w))
+        acc = dwconv2d_int8_acc(x2, w2, stride, padding)
     return numerics.requant_forward_from_bw(acc, exp_in, bw)
 
 
@@ -222,17 +243,26 @@ def dwconv2d_input_grad(
             gy_d, w_rot, (1, 1),
             ((pad_top, pad_bottom), (pad_left, pad_right)),
         )
-    else:
-        acc = jax.lax.conv_general_dilated(
-            gy,
-            w_rot,
-            (1, 1),
-            ((pad_top, pad_bottom), (pad_left, pad_right)),
-            lhs_dilation=(sh, sw),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c,
-            preferred_element_type=jnp.int32,
-        )
+        m = _maybe_pmax(jnp.max(jnp.abs(acc)), axis_name)
+        bw = numerics.range_estimate_from_max(m)
+        if _recompute_dw_acc(acc.size):
+            gy2, w2 = jax.lax.optimization_barrier((gy_d, w_rot))
+            acc = _dw_acc_taps(
+                gy2, w2, (1, 1),
+                ((pad_top, pad_bottom), (pad_left, pad_right)),
+            )
+        out, _ = numerics.requant_forward_from_bw(acc, jnp.int32(0), bw)
+        return out
+    acc = jax.lax.conv_general_dilated(
+        gy,
+        w_rot,
+        (1, 1),
+        ((pad_top, pad_bottom), (pad_left, pad_right)),
+        lhs_dilation=(sh, sw),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        preferred_element_type=jnp.int32,
+    )
     m = _maybe_pmax(jnp.max(jnp.abs(acc)), axis_name)
     bw = numerics.range_estimate_from_max(m)
     out, _ = numerics.requant_forward_from_bw(acc, jnp.int32(0), bw)

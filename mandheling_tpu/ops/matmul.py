@@ -43,10 +43,15 @@ def matmul_int8_forward(
 ) -> Tuple[jax.Array, jax.Array]:
     """Forward-style (bw-7 with branch rules) requant of an int8 GEMM —
     the matmul analog of conv2d_forward for FC layers expressed as matmul."""
+    from .conv import _recompute_matmul_acc
+
     acc = matmul_int8_acc(a, b)
     m = jnp.max(jnp.abs(acc))
     if axis_name is not None:
         m = jax.lax.pmax(m, axis_name)
     bw = numerics.range_estimate_from_max(m)
     exp_in = a_exp.astype(jnp.int32) + b_exp.astype(jnp.int32)
+    if _recompute_matmul_acc(acc.size, a.shape[1], b.shape[1]):
+        a2, b2 = jax.lax.optimization_barrier((a, b))
+        acc = matmul_int8_acc(a2, b2)
     return numerics.requant_forward_from_bw(acc, exp_in, bw)

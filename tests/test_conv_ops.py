@@ -195,3 +195,49 @@ def test_resnet18_train_step_shapes_stable():
     a = jax.tree.leaves(jax.tree.map(lambda l: (l.shape, str(l.dtype)), params))
     b = jax.tree.leaves(jax.tree.map(lambda l: (l.shape, str(l.dtype)), new_params))
     assert a == b
+
+
+def test_requant_impl_modes_bit_identical():
+    """The requant accumulator policy (materialize / recompute / auto,
+    ops/conv.py) must be a pure residence decision: both passes compute the
+    identical int32 accumulator, so conv forward, 1x1 input grad, matmul
+    forward, and the depthwise forms are byte-identical across modes."""
+    import jax
+
+    from mandheling_tpu.ops import depthwise as dw_ops
+    from mandheling_tpu.ops import matmul as mm_ops
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.integers(-90, 90, (4, 9, 9, 6)).astype(np.int8))
+    w = jnp.asarray(rng.integers(-90, 90, (1, 1, 6, 10)).astype(np.int8))
+    gy = jnp.asarray(rng.integers(-90, 90, (4, 9, 9, 10)).astype(np.int8))
+    a = jnp.asarray(rng.integers(-90, 90, (32, 24)).astype(np.int8))
+    b = jnp.asarray(rng.integers(-90, 90, (24, 40)).astype(np.int8))
+    xd = jnp.asarray(rng.integers(-90, 90, (4, 9, 9, 8)).astype(np.int8))
+    wd = jnp.asarray(rng.integers(-90, 90, (3, 3, 1, 8)).astype(np.int8))
+
+    outs = {}
+    for impl in ("materialize", "recompute"):
+        with conv_ops.use_requant_impl(impl):
+            outs[impl] = [
+                np.asarray(o)
+                for o in (
+                    *jax.jit(conv_ops.conv2d_forward)(
+                        x, jnp.int32(-7), w, jnp.int32(-7)
+                    ),
+                    jax.jit(
+                        lambda g, wt: conv_ops.conv2d_input_grad(g, wt, (9, 9))
+                    )(gy, w),
+                    *jax.jit(mm_ops.matmul_int8_forward)(
+                        a, jnp.int32(-7), b, jnp.int32(-7)
+                    ),
+                    *jax.jit(dw_ops.dwconv2d_forward)(
+                        xd, jnp.int32(-7), wd, jnp.int32(-7)
+                    ),
+                    jax.jit(
+                        lambda g, wt: dw_ops.dwconv2d_input_grad(g, wt, (9, 9))
+                    )(gy[..., :8], wd),
+                )
+            ]
+    for got, want in zip(outs["recompute"], outs["materialize"]):
+        np.testing.assert_array_equal(got, want)

@@ -1,12 +1,11 @@
 """Benchmark: NITI int8 training throughput (samples/sec/chip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — the
-LeNet/MNIST int8-vs-fp32 headline comparable across rounds — and writes
-BENCH_DETAIL_r03.json with every case: CIFAR-scale MobileNetV2/ResNet18
-int8 throughput AND their fp32 train-step counterparts (the reference's
-own MnistTrain-vs-NITIInt8Train comparison axis, demo/MnistUtils.cpp:35,
-338, extended to the model zoo per the r2 verdict), plus per-case
-int8-vs-fp32 speedups.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} and
+writes BENCH_DETAIL_r04.json with every case: LeNet b2048 plus CIFAR-scale
+MobileNetV2/ResNet18 int8 throughput AND their fp32 train-step
+counterparts (the reference's own MnistTrain-vs-NITIInt8Train comparison
+axis, demo/MnistUtils.cpp:35,338, extended to the model zoo per the r2
+verdict), plus per-case int8-vs-fp32 speedups.
 
 Measurement: the step loop runs INSIDE one jitted program (lax.fori_loop
 with params as carry) and the summed loss is read back to the host — pure
@@ -14,17 +13,30 @@ device time, immune to async-dispatch artifacts (on this setup
 block_until_ready can return before remote execution finishes, inflating
 naive timings ~40x).
 
-Baseline: the reference publishes no training throughput (BASELINE.md) — its
-loops only print per-iteration wall time on a phone. vs_baseline is the
-int8-vs-fp32 speedup on the same chip (the reference's own
-MnistTrain-vs-NITIInt8Train comparison axis):
-vs_baseline = int8_samples_per_sec / fp32_samples_per_sec.
+Baseline: the reference publishes no training throughput (BASELINE.md) —
+its loops only print per-iteration wall time on a phone. vs_baseline is
+the int8-vs-fp32 train-step speedup on the same chip (the reference's own
+MnistTrain-vs-NITIInt8Train comparison axis), reported as the GEOMEAN
+over the model zoo {LeNet b2048, MobileNetV2 b256, ResNet18 b256} — r4
+change, per the r3 verdict ("make the driver's number reflect the real
+story"): the single-model LeNet ratio is still printed as
+`lenet_int8_vs_fp32`, and r1-r3 rounds' vs_baseline (1.152/1.135/1.135)
+are LeNet-only numbers. If any zoo case fails, vs_baseline falls back to
+the LeNet-only ratio and says so in `vs_baseline_def`.
+
+Budget: every jitted program goes through the persistent compile cache
+(<repo>/.jax_cache, shared across processes); a warm cache turns the
+multi-minute relay compiles into sub-second loads so all six rows + the
+headline fit the driver's window (the r3 driver refresh skipped both
+ResNet18 rows on time budget). Cold-cache runs degrade gracefully: cases
+are ordered headline-first and a case that would exceed the budget is
+recorded as skipped rather than aborting the line.
 
 Backend selection: the kernel backend per case comes from _BACKEND_CHOICE,
 set from measured TPU comparisons (tools/probes/backend_compare.py /
 fused_shape_probe.py; see BENCH_DETAIL notes). Override with
-BENCH_BACKEND=pallas|xla to force one.
-"""
+BENCH_BACKEND=pallas|xla to force one. The requant accumulator policy is
+the measured "auto" default (ops/conv.py, r4)."""
 
 import json
 import os
@@ -248,15 +260,29 @@ def main():
                     {"case": case,
                      "error": f"{type(e).__name__}: {e}"[:160]}
                 )
+
+    ratios = {"lenet": int8_sps / fp32_sps}
     for name in ("mobilenet_v2", "resnet18"):
         i8 = sps_by_case.get(f"{name}_niti_int8_b256")
         f32 = sps_by_case.get(f"{name}_fp32_b256")
         if i8 and f32:
-            detail.setdefault("int8_vs_fp32", {})[name] = round(i8 / f32, 3)
+            ratios[name] = i8 / f32
+    detail["int8_vs_fp32"] = {k: round(v, 3) for k, v in ratios.items()}
+
+    if len(ratios) == 3:
+        vs_baseline = float(np.prod(list(ratios.values())) ** (1 / 3))
+        vs_def = ("geomean int8/fp32 train-step speedup over "
+                  "{lenet b2048, mobilenet_v2 b256, resnet18 b256}")
+    else:
+        vs_baseline = ratios["lenet"]
+        vs_def = ("lenet-only int8/fp32 speedup (zoo cases incomplete: "
+                  + ",".join(sorted(set(("mobilenet_v2", "resnet18"))
+                                    - set(ratios))) + ")")
+    detail["vs_baseline_def"] = vs_def
 
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL_r03.json"), "w") as f:
+                               "BENCH_DETAIL_r04.json"), "w") as f:
             json.dump(detail, f, indent=1)
     except OSError:
         pass
@@ -267,7 +293,13 @@ def main():
                 "metric": "niti_int8_mnist_train_samples_per_sec_per_chip",
                 "value": round(int8_sps, 1),
                 "unit": "samples/s",
-                "vs_baseline": round(int8_sps / fp32_sps, 3),
+                "vs_baseline": round(vs_baseline, 3),
+                "vs_baseline_def": vs_def,
+                "lenet_int8_vs_fp32": round(ratios["lenet"], 3),
+                "mobilenet_v2_int8_vs_fp32": round(
+                    ratios.get("mobilenet_v2", 0), 3) or None,
+                "resnet18_int8_vs_fp32": round(
+                    ratios.get("resnet18", 0), 3) or None,
             }
         )
     )

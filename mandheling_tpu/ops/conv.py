@@ -564,6 +564,24 @@ def _filter_grad_acc_matmul(
     return acc.reshape(kh, kw, ic, oc)
 
 
+# Dense-conv filter-grad requant margin (shift = bw - margin). The
+# reference contract is margin=2 (NITI_GradientConv_Int8.cpp:274-296) and
+# that is the default; the knob exists for the NITI-at-depth stability
+# study (tools/probes/mnv2_divergence_probe.py): a larger margin damps the
+# no-learning-rate integer update w <- w - g, which is the only step-size
+# control NITI training has.
+_FGRAD_MARGIN = 2
+
+
+def set_fgrad_margin(margin: int) -> None:
+    global _FGRAD_MARGIN
+    _FGRAD_MARGIN = int(margin)
+
+
+def get_fgrad_margin() -> int:
+    return _FGRAD_MARGIN
+
+
 def conv2d_filter_grad(
     x: jax.Array,
     gy: jax.Array,
@@ -582,4 +600,5 @@ def conv2d_filter_grad(
     from . import allreduce
 
     acc = conv2d_filter_grad_acc(x, gy, kernel_spatial, stride, padding)
-    return allreduce.grad_allreduce_requant(acc, axis_name, margin=2)
+    return allreduce.grad_allreduce_requant(acc, axis_name,
+                                            margin=_FGRAD_MARGIN)

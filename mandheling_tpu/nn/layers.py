@@ -100,6 +100,21 @@ class NITIRelu(NITILayer):
         return relu_ops.relu_grad(res, gy), ()
 
 
+class NITIRelu6(NITILayer):
+    """Exponent-aware int8 ReLU6 (ops/relu.relu6) — the reference
+    MobileNetV2's _Relu6 (models/MobilenetV2.cpp:67) under the NITI
+    contract. Bounds the forward activations at value 6.0, which the r4
+    divergence study measured as the fix for full-NITI MNv2's forward
+    exponent-inflation runaway."""
+
+    def fwd(self, params, q: QTensor, axis_name=None):
+        return QTensor(relu_ops.relu6(q.data, q.exp), q.exp), (q.data, q.exp)
+
+    def bwd(self, params, res, gy, axis_name=None):
+        x, exp = res
+        return relu_ops.relu6_grad(x, exp, gy), ()
+
+
 class NITIMaxPool(NITILayer):
     def __init__(self, window=(2, 2), stride=(2, 2)):
         self.window = tuple(window)

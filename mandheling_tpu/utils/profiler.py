@@ -85,18 +85,10 @@ def flops_per_step(fn, *example_args) -> float:
     return float(cost_analysis(fn, *example_args).get("flops", 0.0))
 
 
-def per_op_profile(fn, *example_args, iters: int = 3, logdir: Optional[str] = None):
-    """Per-op device-time table for a jitted callable — the full analog of
-    the reference's Executor::Profiler per-OpType dump
-    (express/Executor.cpp:34-77, printed per epoch by MnistUtils.cpp:184).
-
-    Traces `iters` executions with jax.profiler, parses the XSpace protobuf
-    (utils/xplane.py), and returns (per_op_rows, per_category_rows); each
-    row carries occurrences, total device microseconds, and — on TPU —
-    the profiler's flops / bytes_accessed per op.
-
-    Times are summed over all `iters` runs; divide by `iters` for per-step.
-    """
+def trace_device_planes(fn, *example_args, iters: int = 3,
+                        logdir: Optional[str] = None):
+    """Trace `iters` executions of a jitted callable and return the parsed
+    device XPlanes (utils/xplane.py). Compile happens outside the trace."""
     import shutil
     import tempfile
 
@@ -121,8 +113,27 @@ def per_op_profile(fn, *example_args, iters: int = 3, logdir: Optional[str] = No
         planes = []
         for f in files:
             planes.extend(xplane.parse_xspace(f))
-        rows = xplane.per_op_rows(xplane.device_planes(planes))
-        return rows, xplane.by_category(rows)
+        return xplane.device_planes(planes)
     finally:
         if own_dir:
             shutil.rmtree(logdir, ignore_errors=True)
+
+
+def per_op_profile(fn, *example_args, iters: int = 3, logdir: Optional[str] = None):
+    """Per-op device-time table for a jitted callable — the full analog of
+    the reference's Executor::Profiler per-OpType dump
+    (express/Executor.cpp:34-77, printed per epoch by MnistUtils.cpp:184).
+
+    Traces `iters` executions with jax.profiler, parses the XSpace protobuf
+    (utils/xplane.py), and returns (per_op_rows, per_category_rows); each
+    row carries occurrences, total device microseconds, and — on TPU —
+    the profiler's flops / bytes_accessed per op.
+
+    Times are summed over all `iters` runs; divide by `iters` for per-step.
+    """
+    from . import xplane
+
+    planes = trace_device_planes(fn, *example_args, iters=iters,
+                                 logdir=logdir)
+    rows = xplane.per_op_rows(planes)
+    return rows, xplane.by_category(rows)

@@ -308,3 +308,130 @@ def format_table(rows: List[dict], top: Optional[int] = None) -> str:
             f"{r.get('source', '')[:60]}"
         )
     return "\n".join(out)
+
+
+# -- overlap analysis (r4): measured analog of the reference's CPU/DSP
+# co-scheduling evidence (CPUBackend.cpp:209-263 runs the weight-gradient
+# DSP graph on a parallel thread while the CPU computes other ops). On TPU
+# the same concurrency is XLA's async DMA queues overlapping the compute
+# queue; this quantifies it from the trace instead of asserting it. --
+
+_COPY_CATEGORIES = frozenset((
+    "copy-start", "copy-done", "async-start", "async-done",
+    "data formatting", "broadcast", "copy",
+))
+
+# control-flow shells span their children on the same timeline (the while
+# row in the per-op table covers the whole loop) — exclude them from both
+# classes or they'd intersect everything
+_CONTROL_CATEGORIES = frozenset(("while", "conditional", "call", ""))
+
+
+def _merge(intervals):
+    """Union length of [start, end) ps intervals."""
+    total = 0
+    last_end = None
+    for s, e in sorted(intervals):
+        if last_end is None or s > last_end:
+            total += e - s
+            last_end = e
+        elif e > last_end:
+            total += e - last_end
+            last_end = e
+    return total
+
+
+def _intersect_len(a, b):
+    """Total overlap length between two interval lists (each first merged)."""
+    def merged(iv):
+        out = []
+        for s, e in sorted(iv):
+            if out and s <= out[-1][1]:
+                out[-1] = (out[-1][0], max(out[-1][1], e))
+            else:
+                out.append((s, e))
+        return out
+
+    am, bm = merged(a), merged(b)
+    i = j = 0
+    total = 0
+    while i < len(am) and j < len(bm):
+        s = max(am[i][0], bm[j][0])
+        e = min(am[i][1], bm[j][1])
+        if s < e:
+            total += e - s
+        if am[i][1] < bm[j][1]:
+            i += 1
+        else:
+            j += 1
+    return total
+
+
+def overlap_report(
+    planes: List[XPlane], line_filter: str = "XLA Ops",
+    fgrad_marker: str = "",
+) -> dict:
+    """Compute/copy concurrency from a device trace.
+
+    Classifies every event on the XLA Ops line(s) as data movement
+    (_COPY_CATEGORIES) or compute, merges each class's intervals, and
+    reports union lengths + the copy-compute intersection. With
+    `fgrad_marker` (a substring of the op source/name identifying filter-
+    gradient ops), also reports how much filter-grad compute time overlaps
+    OTHER compute and data movement — the reference's parallel-gradient-
+    thread analog, measured.
+    """
+    copy_iv, compute_iv, fgrad_iv, other_compute_iv = [], [], [], []
+    for plane in planes:
+        stat_names = plane.stat_metadata
+        for line in plane.lines:
+            lname = line.display_name or line.name
+            if line_filter and line_filter.lower() not in lname.lower():
+                continue
+            for ev in line.events:
+                md = plane.event_metadata.get(ev.metadata_id)
+                cat = ""
+                src = ""
+                if md:
+                    for st in md.stats:
+                        sname = stat_names.get(st.metadata_id, "")
+                        if sname == "hlo_category":
+                            cat = st.value
+                        elif sname in ("source_info", "tf_op", "source"):
+                            src = src or str(st.value)
+                name = (md.display_name or md.name) if md else ""
+                iv = (ev.offset_ps, ev.offset_ps + ev.duration_ps)
+                if cat in _CONTROL_CATEGORIES:
+                    continue
+                if cat in _COPY_CATEGORIES:
+                    copy_iv.append(iv)
+                else:
+                    compute_iv.append(iv)
+                    if fgrad_marker and (
+                        fgrad_marker in name or fgrad_marker in src
+                    ):
+                        fgrad_iv.append(iv)
+                    else:
+                        other_compute_iv.append(iv)
+    all_iv = copy_iv + compute_iv
+    span = (max(e for _, e in all_iv) - min(s for s, _ in all_iv)
+            if all_iv else 0)
+    copy_u = _merge(copy_iv)
+    comp_u = _merge(compute_iv)
+    both = _intersect_len(copy_iv, compute_iv)
+    out = {
+        "span_us": span / 1e6,
+        "busy_us": _merge(all_iv) / 1e6,
+        "compute_union_us": comp_u / 1e6,
+        "copy_union_us": copy_u / 1e6,
+        "copy_compute_overlap_us": both / 1e6,
+        "copy_hidden_frac": both / copy_u if copy_u else 0.0,
+        "copy_exposed_us": (copy_u - both) / 1e6,
+    }
+    if fgrad_marker:
+        fg_u = _merge(fgrad_iv)
+        out["fgrad_union_us"] = fg_u / 1e6
+        out["fgrad_overlap_other_compute_us"] = (
+            _intersect_len(fgrad_iv, other_compute_iv) / 1e6)
+        out["fgrad_overlap_copy_us"] = _intersect_len(fgrad_iv, copy_iv) / 1e6
+    return out

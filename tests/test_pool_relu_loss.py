@@ -226,3 +226,44 @@ def test_softmax_grad_truncates_low_byte():
     vals = np.array([0, 1, 255, 256, -1, 1000, -1000], np.int64)
     expected = (vals & 0xFF).astype(np.uint8).view(np.int8)
     np.testing.assert_array_equal(out, expected)
+
+
+def test_relu6_cap_and_clip():
+    """relu6 clamps value = data * 2^exp at 6.0 in integer domain
+    (reference MobilenetV2.cpp:67 _Relu6 under the NITI contract)."""
+    from mandheling_tpu.ops import relu as relu_ops
+
+    # exp = -5: cap 6*32 = 192 -> rail 127 (no clip beyond relu)
+    assert int(relu_ops.relu6_cap(jnp.int32(-5))) == 127
+    # exp = -4: cap 96
+    assert int(relu_ops.relu6_cap(jnp.int32(-4))) == 96
+    # exp = 0: cap 6; exp = 2: cap 1; exp = 3: cap 0
+    assert int(relu_ops.relu6_cap(jnp.int32(0))) == 6
+    assert int(relu_ops.relu6_cap(jnp.int32(2))) == 1
+    assert int(relu_ops.relu6_cap(jnp.int32(3))) == 0
+
+    x = jnp.asarray(np.array([-7, 0, 3, 96, 97, 127], np.int8))
+    y = relu_ops.relu6(x, jnp.int32(-4))
+    np.testing.assert_array_equal(np.asarray(y), [0, 0, 3, 96, 96, 96])
+
+    gy = jnp.asarray(np.array([10, 10, 10, 10, 10, 10], np.int8))
+    g = relu_ops.relu6_grad(x, jnp.int32(-4), gy)
+    # inside (0, cap) only: x=3 passes; x<=0 and x>=96 are masked
+    np.testing.assert_array_equal(np.asarray(g), [0, 0, 10, 0, 0, 0])
+
+
+def test_relu6_layer_roundtrip():
+    from mandheling_tpu.nn.layers import NITIRelu6
+    from mandheling_tpu.ops.qtensor import QTensor
+
+    layer = NITIRelu6()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-127, 128, (4, 8, 8, 3)).astype(np.int8))
+    q, res = layer.fwd((), QTensor(x, jnp.int32(-3)))
+    assert int(jnp.max(q.data)) <= 48  # 6 * 2^3
+    assert int(jnp.min(q.data)) == 0
+    gy = jnp.asarray(rng.integers(-20, 20, x.shape).astype(np.int8))
+    gx, grads = layer.bwd((), res, gy)
+    assert grads == ()
+    mask = (np.asarray(x) > 0) & (np.asarray(x) < 48)
+    np.testing.assert_array_equal(np.asarray(gx), np.where(mask, np.asarray(gy), 0))

@@ -68,6 +68,13 @@ def main():
     ap.add_argument("--sps", action="store_true",
                     help="also measure wall samples/s (differential "
                          "device loop, the bench.py methodology)")
+    ap.add_argument("--overlap", action="store_true",
+                    help="also print the compute/copy overlap report "
+                         "(utils/xplane.overlap_report) — the measured "
+                         "CPU-DSP co-scheduling analog")
+    ap.add_argument("--fgrad-marker", default="",
+                    help="substring identifying filter-grad ops for the "
+                         "overlap report's parallel-gradient analysis")
     args = ap.parse_args()
 
     if args.dw:
@@ -113,7 +120,12 @@ def main():
             dt = float(np.median(deltas))
             print(f"WALL: {dt*1e3:.3f} ms/step, "
                   f"{args.batch/dt:.0f} samples/s")
-        rows, cats = profiler.per_op_profile(fn, params, iters=args.iters)
+        planes = profiler.trace_device_planes(fn, params, iters=args.iters)
+        rows = xplane.per_op_rows(planes)
+        cats = xplane.by_category(rows)
+        overlap = (xplane.overlap_report(planes,
+                                         fgrad_marker=args.fgrad_marker)
+                   if args.overlap else None)
     finally:
         if ctx:
             ctx.__exit__(None, None, None)
@@ -126,11 +138,16 @@ def main():
     print(xplane.format_table(rows, top=args.top))
     print("\n-- per HLO category --")
     print(xplane.format_table(cats))
+    if overlap is not None:
+        print("\n-- compute/copy overlap (all traced steps) --")
+        for k, v in overlap.items():
+            print(f"  {k}: {v:.1f}" if isinstance(v, float) else
+                  f"  {k}: {v}")
     if args.json:
         with open(args.json, "w") as f:
             json.dump({"model": args.model, "batch": args.batch,
-                       "iters": args.iters, "rows": rows, "cats": cats}, f,
-                      indent=1)
+                       "iters": args.iters, "rows": rows, "cats": cats,
+                       "overlap": overlap}, f, indent=1)
 
 
 if __name__ == "__main__":

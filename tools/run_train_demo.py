@@ -210,7 +210,16 @@ def distributed_niti_train(args):
 def mobilenet_v2_train(args):
     """NITI int8 MobileNetV2 on CIFAR-10 (reference
     MobilenetV2Utils::train, demo/MobilenetV2Utils.cpp:34; CIFAR bin root or
-    synthetic fallback)."""
+    synthetic fallback).
+
+    Full-NITI MNv2 stability (r4 finding, ACCURACY_r04 /
+    tools/probes/mnv2_divergence_probe.py): with unbounded relu the forward
+    exponents run away and training diverges (the r3 finding); the model
+    now uses the reference architecture's ReLU6 (MobilenetV2.cpp:67) under
+    the NITI contract, which bounds the exponents. The reference itself
+    only ever trains MNv2 fp32/QAT (MobilenetV2Utils.cpp,
+    distillTrainQuant) — for those configs use the MobilenetV2Transfer /
+    DistillTrainQuant demos."""
     from mandheling_tpu.data.cifar import load_or_synthesize_cifar
     from mandheling_tpu.models import mobilenet_v2_niti
     from mandheling_tpu.train.trainer import train_niti

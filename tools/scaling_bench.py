@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Data-parallel scaling-efficiency harness -> SCALING_r0N.json (default SCALING_r03).
+"""Data-parallel scaling-efficiency harness -> SCALING_r0N.json (default SCALING_r04).
 
 Measures samples/s of the DP NITI train step at 1 device vs N devices
 (fixed per-device batch, so perfect scaling = N x samples/s), plus a
@@ -13,7 +13,7 @@ numerics bit-identical per tests/test_multihost.py); chip-scaling numbers
 must come from real multi-chip hardware with the same entry points.
 
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python tools/scaling_bench.py --out SCALING_r03.json
+        python tools/scaling_bench.py --out SCALING_r04.json
 """
 
 import argparse
@@ -106,7 +106,7 @@ def measure_multihost(nproc: int, ndev_each: int, armode: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="SCALING_r03.json")
+    ap.add_argument("--out", default="SCALING_r04.json")
     ap.add_argument("--devices", type=int, nargs="*", default=[1, 2, 4, 8])
     args = ap.parse_args()
 
@@ -173,6 +173,28 @@ def main():
                 "efficiency needs real multi-chip hardware with these same "
                 "entry points; multihost bit-identity is asserted in "
                 "tests/test_multihost.py",
+        "validity": {
+            "gate": "BASELINE.md >=90% samples/s scaling efficiency at "
+                    "N>=2 hosts",
+            "status": "HARDWARE-BLOCKED in this sandbox: one real TPU "
+                      "chip, no second host; the gate has no measurable "
+                      "instantiation here and these rows are NOT a "
+                      "measurement of it.",
+            "what_rows_show": "the virtual-mesh rows validate the "
+                              "sharding/collective HARNESS only — the DP "
+                              "step compiles, runs, and stays bit-identical "
+                              "across device/process counts "
+                              "(tests/test_parallel.py, "
+                              "tests/test_multihost.py); all virtual "
+                              "devices time-share one host's cores, so "
+                              "throughput ratios mix collective overhead "
+                              "with core contention and under-read as "
+                              "chip-scaling efficiency.",
+            "what_rows_do_not_show": "real ICI/DCN collective latency, "
+                                     "per-chip HBM bandwidth isolation, or "
+                                     "any number comparable to the >=90% "
+                                     "gate.",
+        },
         "rows": rows,
     }
     with open(args.out, "w") as f:

@@ -56,13 +56,15 @@ IMAGENET_PLAN = [
 ]
 
 
-def _bottleneck(in_c: int, out_c: int, expansion: int, stride: int) -> NITILayer:
+def _bottleneck(in_c: int, out_c: int, expansion: int, stride: int,
+                dw_per_channel: bool = False) -> NITILayer:
     mid = in_c * expansion
     layers: List[NITILayer] = []
     if expansion != 1:
         layers += [NITIConv2D(in_c, mid, (1, 1)), NITIRelu6()]
     layers += [
-        NITIDepthwiseConv2D(mid, (3, 3), (stride, stride), "SAME"),
+        NITIDepthwiseConv2D(mid, (3, 3), (stride, stride), "SAME",
+                            per_channel=dw_per_channel),
         NITIRelu6(),
         NITIConv2D(mid, out_c, (1, 1)),
     ]
@@ -77,7 +79,8 @@ class _SeqFlatten(Sequential):
 
 
 def mobilenet_v2_niti(
-    num_classes: int = 10, width_mult: float = 1.0, variant: str = "cifar"
+    num_classes: int = 10, width_mult: float = 1.0, variant: str = "cifar",
+    dw_per_channel: bool = False,
 ) -> Sequential:
     """NITI int8 MobileNetV2. Logit channels padded to a multiple of
     4 like the reference pads NITI channels (mnistTrain.cpp:137-152).
@@ -101,7 +104,8 @@ def mobilenet_v2_niti(
         out_c = c(out_c)
         for i in range(n):
             s = stride if i == 0 else 1
-            block = _bottleneck(in_c, out_c, expansion, s)
+            block = _bottleneck(in_c, out_c, expansion, s,
+                                dw_per_channel=dw_per_channel)
             if isinstance(block, ResidualBlock):
                 layers.append(block)
             else:
@@ -154,7 +158,8 @@ V1_IMAGENET_PLAN = [
 
 
 def mobilenet_v1_niti(
-    num_classes: int = 10, width_mult: float = 1.0, variant: str = "cifar"
+    num_classes: int = 10, width_mult: float = 1.0, variant: str = "cifar",
+    dw_per_channel: bool = False,
 ) -> Sequential:
     """NITI int8 MobileNetV1: depthwise 3x3 + pointwise 1x1 pairs.
     variant="cifar" or "imagenet" (see mobilenet_v2_niti)."""
@@ -175,7 +180,8 @@ def mobilenet_v1_niti(
     for out_c, stride in plan:
         out_c = c(out_c)
         layers += [
-            NITIDepthwiseConv2D(in_c, (3, 3), (stride, stride), "SAME"),
+            NITIDepthwiseConv2D(in_c, (3, 3), (stride, stride), "SAME",
+                                per_channel=dw_per_channel),
             NITIRelu6(),
             NITIConv2D(in_c, out_c, (1, 1)),
             NITIRelu6(),

@@ -28,14 +28,27 @@ def _accum_grads(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 class NITIDepthwiseConv2D(NITILayer):
-    def __init__(self, channels: int, kernel=(3, 3), stride=(1, 1), padding="SAME"):
+    """int8 depthwise conv. `per_channel=True` switches the weight to a
+    per-channel exponent vector (nn/init.niti_xavier_int8_dw_per_channel +
+    the aligned-accumulator forms in ops/depthwise.py) — this framework's
+    extension for depthwise-separable quantization; the reference has no
+    NITI depthwise op (its MobileNets train fp32)."""
+
+    def __init__(self, channels: int, kernel=(3, 3), stride=(1, 1),
+                 padding="SAME", per_channel: bool = False):
         self.channels = channels
         self.kernel = tuple(kernel)
         self.stride = tuple(stride)
         self.padding = padding
+        self.per_channel = per_channel
 
     def init(self, key):
         kh, kw = self.kernel
+        if self.per_channel:
+            from .init import niti_xavier_int8_dw_per_channel
+
+            return {"w": niti_xavier_int8_dw_per_channel(
+                key, (kh, kw, 1, self.channels))}
         # fan over the per-channel kernel (1-in-1-out per group)
         return {"w": niti_xavier_int8(key, (kh, kw, 1, self.channels))}
 
@@ -49,12 +62,14 @@ class NITIDepthwiseConv2D(NITILayer):
     def bwd(self, params, res, gy, axis_name=None):
         x = res
         w: QTensor = params["w"]
+        w_exp = w.exp if self.per_channel else None
         gx = dw_ops.dwconv2d_input_grad(
             gy, w.data, (x.shape[1], x.shape[2]), self.stride, self.padding,
-            axis_name,
+            axis_name, w_exp=w_exp,
         )
         gw = dw_ops.dwconv2d_filter_grad(
-            x, gy, self.kernel, self.stride, self.padding, axis_name
+            x, gy, self.kernel, self.stride, self.padding, axis_name,
+            w_exp=w_exp,
         )
         return gx, {"w": QTensor(gw, jnp.int32(0))}
 

@@ -38,3 +38,33 @@ def niti_xavier_int8(key: jax.Array, shape_hwio: Tuple[int, int, int, int]) -> Q
     exp = (jnp.ceil(jnp.log2(rng)) - 7).astype(jnp.int32)
     data = jnp.round(w / rng * 127.0).astype(jnp.int8)
     return QTensor(data, exp)
+
+
+def niti_xavier_int8_dw_per_channel(
+    key: jax.Array, shape_hwio: Tuple[int, int, int, int]
+) -> QTensor:
+    """Depthwise weight (KH, KW, 1, C) with a PER-CHANNEL exponent vector.
+
+    This framework's extension beyond the reference's per-tensor contract
+    (the reference has no NITI depthwise op at all — its MobileNets train
+    fp32, demo/MobilenetV2Utils.cpp). Motivation (r4 divergence study):
+    full-NITI MobileNetV1/V2 fail to learn under per-tensor depthwise
+    quantization while dense-conv NITI models train fine; per-channel
+    weight scales are the standard fix for depthwise-separable
+    quantization. Same Xavier draw and per-scale formula as
+    niti_xavier_int8, applied per channel:
+
+        range_c = max|w[..., c]|
+        exp_c   = ceil(log2(range_c)) - 7       (int32 vector, (C,))
+        data_c  = round(w[..., c] / range_c * 127)
+    """
+    kh, kw, one, c = shape_hwio
+    assert one == 1, "depthwise weights are (KH, KW, 1, C)"
+    fan_in = kh * kw
+    fan_out = kh * kw
+    std = jnp.sqrt(2.0 / (fan_in + fan_out))
+    w = jax.random.normal(key, shape_hwio, jnp.float32) * std
+    rng_c = jnp.max(jnp.abs(w), axis=(0, 1, 2))             # (C,)
+    exp_c = (jnp.ceil(jnp.log2(rng_c)) - 7).astype(jnp.int32)
+    data = jnp.round(w / rng_c[None, None, None, :] * 127.0).astype(jnp.int8)
+    return QTensor(data, exp_c)

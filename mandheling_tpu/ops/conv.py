@@ -599,6 +599,9 @@ def conv2d_filter_grad(
     """
     from . import allreduce
 
-    acc = conv2d_filter_grad_acc(x, gy, kernel_spatial, stride, padding)
-    return allreduce.grad_allreduce_requant(acc, axis_name,
-                                            margin=_FGRAD_MARGIN)
+    # named scope -> the trace/overlap report can identify filter-grad ops
+    # (the reference's parallel-gradient-graph ops, PROFILE artifact)
+    with jax.named_scope("filter_grad"):
+        acc = conv2d_filter_grad_acc(x, gy, kernel_spatial, stride, padding)
+        return allreduce.grad_allreduce_requant(acc, axis_name,
+                                                margin=_FGRAD_MARGIN)

@@ -26,6 +26,25 @@ from .conv import (
 )
 
 
+_PC_SHIFT_CAP = 12  # |dw acc| <= 9*127^2 < 2^17.2; 2^(17.2+12) < 2^31 safe
+
+
+def _per_channel_shifts(w_exp: jax.Array):
+    """(e_base scalar, shift_c vector or None) for a weight exponent that is
+    either the per-tensor scalar (reference contract) or a (C,) vector
+    (this framework's per-channel depthwise extension, r4).
+
+    Vector case: every channel's accumulator is expressed at the SMALLEST
+    channel exponent by a left shift of (exp_c - min exp_c) — int32-safe
+    under _PC_SHIFT_CAP — so the per-tensor range-estimate/psto contract
+    downstream is unchanged."""
+    w_exp = w_exp.astype(jnp.int32)
+    if w_exp.ndim == 0:
+        return w_exp, None
+    e_base = jnp.min(w_exp)
+    return e_base, jnp.clip(w_exp - e_base, 0, _PC_SHIFT_CAP)
+
+
 def _recompute_dw_acc(acc_elems: int) -> bool:
     """Requant-acc policy for depthwise (see ops/conv.py). Measured
     NEGATIVE for "auto": recomputing the taps form costs more than the acc
@@ -177,9 +196,10 @@ def dwconv2d_forward(
     padding="SAME",
     axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    exp_in = x_exp.astype(jnp.int32) + w_exp.astype(jnp.int32)
+    e_base, pc_shift = _per_channel_shifts(w_exp)
+    exp_in = x_exp.astype(jnp.int32) + e_base
     interpret = _fused_enabled()
-    if interpret is not None:
+    if interpret is not None and pc_shift is None:
         pad = resolve_padding(padding, w.shape[:2], stride, x.shape[1:3])
         fused = _fused_dw_requant(
             x, w, tuple(stride), pad, axis_name, interpret, grad=False
@@ -188,9 +208,11 @@ def dwconv2d_forward(
             y, eff_shift = fused
             return y, exp_in + eff_shift
     acc = dwconv2d_int8_acc(x, w, stride, padding)
+    if pc_shift is not None:
+        acc = acc << pc_shift[None, None, None, :]
     m = _maybe_pmax(jnp.max(jnp.abs(acc)), axis_name)
     bw = numerics.range_estimate_from_max(m)
-    if _DW_IMPL == "taps" and _recompute_dw_acc(acc.size):
+    if pc_shift is None and _DW_IMPL == "taps" and _recompute_dw_acc(acc.size):
         x2, w2 = jax.lax.optimization_barrier((x, w))
         acc = dwconv2d_int8_acc(x2, w2, stride, padding)
     return numerics.requant_forward_from_bw(acc, exp_in, bw)
@@ -203,8 +225,17 @@ def dwconv2d_input_grad(
     stride: Sequence[int] = (1, 1),
     padding="SAME",
     axis_name: Optional[str] = None,
+    w_exp: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Transposed depthwise conv with rot180 weights, bw-7 requant."""
+    """Transposed depthwise conv with rot180 weights, bw-7 requant.
+
+    With a per-channel `w_exp` vector (the r4 depthwise extension), each
+    channel's accumulator — which scales with that channel's weight
+    exponent, since depthwise channels never mix — is aligned to the
+    smallest channel exponent before the per-tensor requant."""
+    pc_shift = None
+    if w_exp is not None and w_exp.ndim > 0:
+        _, pc_shift = _per_channel_shifts(w_exp)
     kh, kw, _, c = w.shape
     (pt, _), (pl, _) = resolve_padding(padding, w.shape[:2], stride, x_spatial)
     sh, sw = stride
@@ -225,13 +256,14 @@ def dwconv2d_input_grad(
             gy_d = jnp.zeros(
                 (gy.shape[0], dil_h, dil_w, gy.shape[3]), gy.dtype
             ).at[:, ::sh, ::sw, :].set(gy)
-        fused = _fused_dw_requant(
-            gy_d, w_rot, (1, 1),
-            ((pad_top, pad_bottom), (pad_left, pad_right)),
-            axis_name, interpret, grad=False,
-        )
-        if fused is not None:
-            return fused[0]
+        if pc_shift is None:
+            fused = _fused_dw_requant(
+                gy_d, w_rot, (1, 1),
+                ((pad_top, pad_bottom), (pad_left, pad_right)),
+                axis_name, interpret, grad=False,
+            )
+            if fused is not None:
+                return fused[0]
     if (_DW_IMPL == "taps"
             and min(pad_top, pad_left, pad_bottom, pad_right) >= 0):
         gy_d = gy
@@ -243,9 +275,11 @@ def dwconv2d_input_grad(
             gy_d, w_rot, (1, 1),
             ((pad_top, pad_bottom), (pad_left, pad_right)),
         )
+        if pc_shift is not None:
+            acc = acc << pc_shift[None, None, None, :]
         m = _maybe_pmax(jnp.max(jnp.abs(acc)), axis_name)
         bw = numerics.range_estimate_from_max(m)
-        if _recompute_dw_acc(acc.size):
+        if pc_shift is None and _recompute_dw_acc(acc.size):
             gy2, w2 = jax.lax.optimization_barrier((gy_d, w_rot))
             acc = _dw_acc_taps(
                 gy2, w2, (1, 1),
@@ -263,6 +297,8 @@ def dwconv2d_input_grad(
         feature_group_count=c,
         preferred_element_type=jnp.int32,
     )
+    if pc_shift is not None:
+        acc = acc << pc_shift[None, None, None, :]
     m = _maybe_pmax(jnp.max(jnp.abs(acc)), axis_name)
     bw = numerics.range_estimate_from_max(m)
     out, _ = numerics.requant_forward_from_bw(acc, jnp.int32(0), bw)
@@ -276,9 +312,17 @@ def dwconv2d_filter_grad(
     stride: Sequence[int] = (1, 1),
     padding="SAME",
     axis_name: Optional[str] = None,
+    w_exp: Optional[jax.Array] = None,
 ) -> jax.Array:
     """dw[kh,kw,1,c] = sum_{b,oh,ow} x[b, oh*s+kh-pt, ...] * gy[b,oh,ow,c];
     bw-2 shift like the dense filter grad.
+
+    With a per-channel `w_exp` vector, the accumulator — which is the
+    gradient in VALUE units, uniform across channels — is expressed in
+    each channel's own data units by a truncating right shift of
+    (exp_c - min exp_c) before the per-tensor requant: channels whose data
+    quantum is worth more receive proportionally smaller integer updates,
+    the per-channel analog of the reference's uniform w <- w - g.
 
     Lowered as ONE batch-grouped conv (batch_group_count=C with logical
     dimension numbers "CHWN" — the exact form XLA autodiff uses for
@@ -297,22 +341,26 @@ def dwconv2d_filter_grad(
     kh, kw = kernel_spatial
     c = x.shape[-1]
     pad = resolve_padding(padding, (kh, kw), stride, x.shape[1:3])
-    acc = jax.lax.conv_general_dilated(
-        x,
-        gy,
-        window_strides=(1, 1),
-        padding=pad,
-        rhs_dilation=tuple(stride),
-        dimension_numbers=("CHWN", "IHWO", "NHWC"),
-        batch_group_count=c,
-        preferred_element_type=jnp.int32,
-    )  # (1, kh', kw', C); only the leading kh x kw taps belong to the
-    # kernel when stride > 1 (same slice as the dense fgrad)
-    acc = acc[:, :kh, :kw, :].transpose(1, 2, 0, 3)  # (kh, kw, 1, C)
-    from . import allreduce
+    with jax.named_scope("filter_grad"):
+        acc = jax.lax.conv_general_dilated(
+            x,
+            gy,
+            window_strides=(1, 1),
+            padding=pad,
+            rhs_dilation=tuple(stride),
+            dimension_numbers=("CHWN", "IHWO", "NHWC"),
+            batch_group_count=c,
+            preferred_element_type=jnp.int32,
+        )  # (1, kh', kw', C); only the leading kh x kw taps belong to the
+        # kernel when stride > 1 (same slice as the dense fgrad)
+        acc = acc[:, :kh, :kw, :].transpose(1, 2, 0, 3)  # (kh, kw, 1, C)
+        if w_exp is not None and w_exp.ndim > 0:
+            _, pc_shift = _per_channel_shifts(w_exp)
+            acc = numerics.trunc_shift_div(acc, pc_shift[None, None, None, :])
+        from . import allreduce
 
-    return allreduce.grad_allreduce_requant(acc, axis_name,
-                                            margin=_DW_FGRAD_MARGIN)
+        return allreduce.grad_allreduce_requant(acc, axis_name,
+                                                margin=_DW_FGRAD_MARGIN)
 
 
 def avgpool2d_int8(

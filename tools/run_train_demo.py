@@ -235,6 +235,32 @@ def mobilenet_v2_train(args):
     print(f"final test accuracy: {acc:.4f}")
 
 
+@demo("MobilenetV1Train")
+def mobilenet_v1_train(args):
+    """Full-NITI int8 MobileNetV1 on CIFAR-10 (CIFAR bin root or synthetic
+    fallback). Uses per-channel depthwise weight exponents
+    (dw_per_channel=True) — the r4 finding that makes integer-only
+    MobileNetV1 training converge (DIVERGENCE_r04.json: 0.86 final / 0.90
+    best at 40 epochs vs chance for per-tensor). The reference never
+    trains any MobileNet integer-only (its demos are fp32/QAT,
+    demo/MobilenetV2Utils.cpp)."""
+    from mandheling_tpu.data.cifar import load_or_synthesize_cifar
+    from mandheling_tpu.models import mobilenet_v1_niti
+    from mandheling_tpu.train.trainer import train_niti
+
+    xtr, ytr, real = load_or_synthesize_cifar(args.root, train=True,
+                                              synth_n=512)
+    xte, yte, _ = load_or_synthesize_cifar(args.root, train=False,
+                                           synth_n=256)
+    if not real:
+        print("(no CIFAR-10 bin files found — using synthetic dataset)")
+    _, acc = train_niti(
+        (xtr, ytr), (xte, yte), epochs=args.epochs,
+        batch=32 if real else 16,
+        model=mobilenet_v1_niti(dw_per_channel=True))
+    print(f"final test accuracy: {acc:.4f}")
+
+
 @demo("PipelineNITITrain")
 def pipeline_niti_train(args):
     """Pipeline-parallel NITI training (GPipe over a 'pipe' mesh axis) —

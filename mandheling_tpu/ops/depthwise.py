@@ -195,7 +195,10 @@ def dwconv2d_forward(
     stride: Sequence[int] = (1, 1),
     padding="SAME",
     axis_name: Optional[str] = None,
+    act: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
+    from .conv import _apply_act
+
     e_base, pc_shift = _per_channel_shifts(w_exp)
     exp_in = x_exp.astype(jnp.int32) + e_base
     interpret = _fused_enabled()
@@ -206,7 +209,8 @@ def dwconv2d_forward(
         )
         if fused is not None:
             y, eff_shift = fused
-            return y, exp_in + eff_shift
+            e = exp_in + eff_shift
+            return _apply_act(y, e, act), e
     acc = dwconv2d_int8_acc(x, w, stride, padding)
     if pc_shift is not None:
         acc = acc << pc_shift[None, None, None, :]
@@ -215,7 +219,8 @@ def dwconv2d_forward(
     if pc_shift is None and _DW_IMPL == "taps" and _recompute_dw_acc(acc.size):
         x2, w2 = jax.lax.optimization_barrier((x, w))
         acc = dwconv2d_int8_acc(x2, w2, stride, padding)
-    return numerics.requant_forward_from_bw(acc, exp_in, bw)
+    y, e = numerics.requant_forward_from_bw(acc, exp_in, bw)
+    return _apply_act(y, e, act), e
 
 
 def dwconv2d_input_grad(

@@ -41,14 +41,29 @@ def relu6(x: jax.Array, exp: jax.Array) -> jax.Array:
     integer compare against the 6*2^(-exp) cap, measured (r4 divergence
     study, tools/probes/mnv2_divergence_probe.py) to break the forward
     exponent-inflation loop that made full-NITI MNv2 training diverge.
+
+    Pure-int8 elementwise (the cap scalar is 0..127 so it narrows to int8
+    losslessly): no int32 widening in the hot path.
     """
-    cap = relu6_cap(exp).astype(jnp.int32)
-    xi = x.astype(jnp.int32)
-    return jnp.clip(xi, 0, cap).astype(jnp.int8)
+    cap = relu6_cap(exp).astype(jnp.int8)
+    return jnp.clip(x, jnp.int8(0), cap)
 
 
 def relu6_grad(x: jax.Array, exp: jax.Array, gy: jax.Array) -> jax.Array:
     """Pass gy where the forward input was strictly inside (0, cap)."""
-    cap = relu6_cap(exp).astype(jnp.int32)
-    xi = x.astype(jnp.int32)
-    return jnp.where((xi > 0) & (xi < cap), gy, jnp.int8(0))
+    cap = relu6_cap(exp).astype(jnp.int8)
+    return jnp.where((x > jnp.int8(0)) & (x < cap), gy, jnp.int8(0))
+
+
+def relu6_grad_from_output(y: jax.Array, exp: jax.Array,
+                           gy: jax.Array) -> jax.Array:
+    """relu6 backward masked by the forward OUTPUT instead of the input:
+    y == 0 iff x <= 0 and y == cap iff x >= cap, so (0 < y < cap) is
+    EXACTLY the reference input-mask semantics — but the layer then keeps
+    only its own output alive for the backward (which the next layer's
+    residual already holds), instead of pinning the pre-clip tensor too.
+    Measured: the pre-clip liveness was what pushed the MNv2 step from
+    23.7k to 17.7k samples/s (layout/copy blowup around the extra live
+    int8 tensors at every relu6 site)."""
+    cap = relu6_cap(exp).astype(jnp.int8)
+    return jnp.where((y > jnp.int8(0)) & (y < cap), gy, jnp.int8(0))

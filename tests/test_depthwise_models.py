@@ -235,3 +235,53 @@ def test_mobilenet_v2_per_channel_train_step():
     new_vecs = [l for l in jax.tree_util.tree_leaves(new_params)
                 if hasattr(l, "dtype") and l.dtype == jnp.int32 and l.ndim == 1]
     assert len(new_vecs) == len(vec_exps)
+
+
+def test_fused_relu6_matches_separate_layers():
+    """Conv/dw with act="relu6" must be bit-identical (fwd AND bwd) to the
+    [conv, NITIRelu6] two-layer composition — the fusion is a performance
+    form only (measured ~30% at MNv2 scale, ops/conv._apply_act)."""
+    import jax
+
+    from mandheling_tpu.nn.blocks import NITIDepthwiseConv2D
+    from mandheling_tpu.nn.layers import NITIConv2D, NITIRelu6
+    from mandheling_tpu.nn.module import Sequential
+    from mandheling_tpu.ops.qtensor import QTensor
+
+    rng = np.random.default_rng(5)
+    q = QTensor(
+        jnp.asarray(rng.integers(-90, 90, (2, 8, 8, 6)).astype(np.int8)),
+        jnp.int32(-3),
+    )
+    gy = jnp.asarray(rng.integers(-50, 50, (2, 8, 8, 10)).astype(np.int8))
+    key = jax.random.PRNGKey(0)
+
+    fused = NITIConv2D(6, 10, (3, 3), (1, 1), "SAME", act="relu6")
+    sep = Sequential([NITIConv2D(6, 10, (3, 3), (1, 1), "SAME"),
+                      NITIRelu6()])
+    pf = fused.init(key)
+    ps = sep.init(jax.random.PRNGKey(0))
+    ps[0] = pf  # identical weights
+    yf, rf = fused.fwd(pf, q)
+    ys, rs = sep.fwd(ps, q)
+    np.testing.assert_array_equal(np.asarray(yf.data), np.asarray(ys.data))
+    assert int(yf.exp) == int(ys.exp)
+    gxf, gwf = fused.bwd(pf, rf, gy)
+    gxs, gws = sep.bwd(ps, rs, gy)
+    np.testing.assert_array_equal(np.asarray(gxf), np.asarray(gxs))
+    np.testing.assert_array_equal(
+        np.asarray(gwf["w"].data), np.asarray(gws[0]["w"].data))
+
+    gyd = jnp.asarray(rng.integers(-50, 50, (2, 8, 8, 6)).astype(np.int8))
+    dwf = NITIDepthwiseConv2D(6, (3, 3), (1, 1), "SAME", act="relu6")
+    dws = Sequential([NITIDepthwiseConv2D(6, (3, 3), (1, 1), "SAME"),
+                      NITIRelu6()])
+    pdf = dwf.init(key)
+    pds = dws.init(jax.random.PRNGKey(0))
+    pds[0] = pdf
+    yf2, rf2 = dwf.fwd(pdf, q)
+    ys2, rs2 = dws.fwd(pds, q)
+    np.testing.assert_array_equal(np.asarray(yf2.data), np.asarray(ys2.data))
+    gxf2, _ = dwf.bwd(pdf, rf2, gyd)
+    gxs2, _ = dws.bwd(pds, rs2, gyd)
+    np.testing.assert_array_equal(np.asarray(gxf2), np.asarray(gxs2))

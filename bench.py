@@ -54,7 +54,9 @@ BATCH = 2048
 ITERS_LO = 10
 ITERS_HI = 210
 ROUNDS = 3
-TIME_BUDGET_S = 780  # leave headroom under the driver's timeout
+# leave headroom under the driver's timeout (env-overridable: relay
+# compile times vary minutes-per-program when the cache misses)
+TIME_BUDGET_S = int(os.environ.get("BENCH_TIME_BUDGET_S", "780"))
 
 # measured on TPU v5e (r2 tools/probes/backend_compare.py + r3 dw
 # probes, hoist-proof loop-carried timing): XLA wins every
@@ -233,6 +235,24 @@ def main():
     fp32_sps = bench_fp32()
     detail["cases"].append(
         {"case": "lenet_fp32_b2048", "samples_per_sec": round(fp32_sps, 1)}
+    )
+    # Safety line: if the driver's timeout kills the model-zoo cases below
+    # (relay compiles can cost minutes each on a cold cache), the tail
+    # still carries a valid headline. Superseded by the final line when
+    # the run completes.
+    print(
+        json.dumps(
+            {
+                "metric": "niti_int8_mnist_train_samples_per_sec_per_chip",
+                "value": round(int8_sps, 1),
+                "unit": "samples/s",
+                "vs_baseline": round(int8_sps / fp32_sps, 3),
+                "vs_baseline_def": "lenet-only (partial-run safety line; "
+                                   "superseded by the final line below "
+                                   "when present)",
+            }
+        ),
+        flush=True,
     )
 
     # CIFAR-scale models + fp32 counterparts, budget-permitting

@@ -42,7 +42,14 @@ from ..nn.blocks import (
     ParallelConcat,
     ResidualBlock,
 )
-from ..nn.layers import Flatten, NITIConv2D, NITIMaxPool, NITIRelu, SqueezeLogits
+from ..nn.layers import (
+    Flatten,
+    NITIConv2D,
+    NITIMaxPool,
+    NITIRelu,
+    NITIRelu6,
+    SqueezeLogits,
+)
 from ..nn.module import Sequential
 from ..ops.qtensor import QTensor, quantize_weights
 from .convert import chw_to_hwc_perm
@@ -137,7 +144,14 @@ class _Importer:
             return out
         if op == "Relu" or (op == "Clip"
                             and float(_attrs(node).get("min", 1)) == 0.0):
-            layers.append(NITIRelu())
+            # Clip(0, 6) is torch/ONNX relu6 — the exact exponent-aware
+            # NITI analog since r4 (ops/relu.relu6); other Clip(0, max)
+            # bounds keep the plain-relu approximation
+            a = _attrs(node)
+            if op == "Clip" and float(a.get("max", -1)) == 6.0:
+                layers.append(NITIRelu6())
+            else:
+                layers.append(NITIRelu())
             params.append(())
         elif op == "MaxPool":
             a = _attrs(node)

@@ -22,7 +22,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..nn.blocks import GlobalAvgPool, NITIAvgPool, NITIDepthwiseConv2D
-from ..nn.layers import Flatten, NITIConv2D, NITIMaxPool, NITIRelu, SqueezeLogits
+from ..nn.layers import (
+    Flatten,
+    NITIConv2D,
+    NITIMaxPool,
+    NITIRelu,
+    NITIRelu6,
+    SqueezeLogits,
+)
 from ..nn.module import Sequential
 from ..ops.qtensor import QTensor, quantize_weights
 from .graph_import import RegionWalker
@@ -170,7 +177,7 @@ class _TFGraphOps:
             out_dims((kh, kw), s, padding)
             return out
         if op in ("Relu", "Relu6"):
-            layers.append(NITIRelu())
+            layers.append(NITIRelu6() if op == "Relu6" else NITIRelu())
             params.append(())
         elif op in ("MaxPool", "AvgPool"):
             ks = node.attr.get("ksize") or [1, 2, 2, 1]

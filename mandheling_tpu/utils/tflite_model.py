@@ -37,7 +37,14 @@ from ..nn.blocks import (
     ParallelConcat,
     ResidualBlock,
 )
-from ..nn.layers import Flatten, NITIConv2D, NITIMaxPool, NITIRelu, SqueezeLogits
+from ..nn.layers import (
+    Flatten,
+    NITIConv2D,
+    NITIMaxPool,
+    NITIRelu,
+    NITIRelu6,
+    SqueezeLogits,
+)
 from ..nn.module import Sequential
 from ..ops.qtensor import QTensor, quantize_weights
 from . import tflite_io as T
@@ -142,11 +149,13 @@ class _TFLGraphOps:
         def fused_act(code: int, op_name: str):
             if code == T.ACT_NONE:
                 return
-            if code in (T.ACT_RELU, T.ACT_RELU6):
-                # NITI relu; relu6's clamp is subsumed by int8 saturation
-                # at the layer's power-of-two scale (documented deviation,
-                # same as the reference's float->NITI conversion)
+            if code == T.ACT_RELU:
                 emit(NITIRelu())
+                return
+            if code == T.ACT_RELU6:
+                # exact exponent-aware analog since r4 (ops/relu.relu6);
+                # earlier rounds approximated RELU6 with plain NITI relu
+                emit(NITIRelu6())
                 return
             raise ValueError(f"unsupported fused activation {code} on {op_name}")
 
@@ -216,7 +225,7 @@ class _TFLGraphOps:
         elif op.opcode in (T.SOFTMAX,):
             pass  # the NITI loss consumes logits
         elif op.opcode == T.RELU6:
-            emit(NITIRelu())  # see fused_act note
+            emit(NITIRelu6())
         else:
             raise ValueError(
                 f"unsupported TFLite op {op.name} for NITI import")
@@ -390,7 +399,10 @@ def tflite_from_sequential(model: Sequential, params, input_shape) -> bytes:
             if pad is None:
                 raise ValueError("explicit asymmetric padding needs a PAD op "
                                  "— unsupported in this exporter")
-            wf = (np.asarray(q.data, np.float32) * 2.0 ** int(q.exp))
+            # scalar or per-channel exponent (r4 dw extension): broadcast
+            # along the channel axis either way
+            wf = (np.asarray(q.data, np.float32)
+                  * 2.0 ** np.asarray(q.exp, np.float32))
             wt = w.const(wf.reshape(1, kh, kw, c), name=f"{lname}/w")
             sh, sw = layer.stride
             oh = _out_dim(spatial[0], kh, sh, pad)
@@ -399,6 +411,10 @@ def tflite_from_sequential(model: Sequential, params, input_shape) -> bytes:
             w.op(T.DEPTHWISE_CONV_2D, [cur, wt, -1], [out], T.OPT_DEPTHWISE,
                  {"padding": pad, "stride": (sh, sw), "depth_multiplier": 1})
             cur, spatial = out, (oh, ow)
+            if getattr(layer, "act", None) == "relu6":
+                out = act_out((n, oh, ow, c), f"{lname}/act")
+                w.op(T.RELU6, [cur], [out])
+                cur = out
         elif isinstance(layer, NITIConv2D):
             q = p["w"]
             kh, kw = layer.kernel
@@ -416,9 +432,17 @@ def tflite_from_sequential(model: Sequential, params, input_shape) -> bytes:
             w.op(T.CONV_2D, [cur, wt, -1], [out], T.OPT_CONV2D,
                  {"padding": pad, "stride": (sh, sw)})
             cur, spatial, c = out, (oh, ow), oc
+            if getattr(layer, "act", None) == "relu6":
+                out = act_out((n, oh, ow, oc), f"{lname}/act")
+                w.op(T.RELU6, [cur], [out])
+                cur = out
         elif isinstance(layer, NITIRelu):
             out = act_out(_shape(n, spatial, c), f"{lname}/out")
             w.op(T.RELU, [cur], [out])
+            cur = out
+        elif isinstance(layer, NITIRelu6):
+            out = act_out(_shape(n, spatial, c), f"{lname}/out")
+            w.op(T.RELU6, [cur], [out])
             cur = out
         elif isinstance(layer, NITIMaxPool):
             wh, ww = layer.window

@@ -293,3 +293,42 @@ def test_tflite_branching_export_roundtrip():
     y2, _ = Sequential(model2.layers[:-1]).fwd(params2[:-1], x)
     np.testing.assert_array_equal(np.asarray(y1.data), np.asarray(y2.data))
     assert int(y1.exp) == int(y2.exp)
+
+
+def test_tflite_relu6_and_fused_act_roundtrip():
+    """r4: NITIRelu6 and act="relu6"-fused conv/dw layers export as TFLite
+    RELU6 ops and re-import as NITIRelu6 with a bit-identical forward.
+    (Earlier rounds approximated TFLite RELU6 with plain NITI relu; the
+    exact exponent-aware analog now round-trips.)"""
+    from mandheling_tpu.nn.blocks import GlobalAvgPool, NITIDepthwiseConv2D
+    from mandheling_tpu.nn.layers import (
+        NITIConv2D,
+        NITIRelu6,
+        SqueezeLogits,
+    )
+    from mandheling_tpu.nn.module import Sequential
+
+    model = Sequential([
+        NITIConv2D(3, 16, (3, 3), (1, 1), "SAME", act="relu6"),
+        NITIDepthwiseConv2D(16, (3, 3), (1, 1), "SAME", act="relu6"),
+        NITIRelu6(),
+        GlobalAvgPool(),
+        NITIConv2D(16, 12, (1, 1)),
+        SqueezeLogits(),
+    ])
+    params = model.init(jax.random.PRNGKey(0))
+    buf = tflite_from_sequential(model, params, (2, 16, 16, 3))
+    m = T.load_tflite(buf)
+    assert sum(1 for op in m.ops if op.name == "RELU6") == 3
+
+    model2, params2 = niti_model_from_tflite(buf)
+    from mandheling_tpu.nn.layers import NITIRelu6 as R6
+
+    assert sum(1 for l in model2.layers if isinstance(l, R6)) == 3
+    rng = np.random.default_rng(0)
+    x = QTensor(jnp.asarray(rng.integers(-64, 64, (2, 16, 16, 3)), jnp.int8),
+                jnp.int32(-5))
+    y1, _ = model.fwd(params, x)
+    y2, _ = model2.fwd(params2, x)
+    np.testing.assert_array_equal(np.asarray(y1.data), np.asarray(y2.data))
+    assert int(y1.exp) == int(y2.exp)

@@ -51,7 +51,7 @@ IMAGENET_PLAN = [
 
 
 def _bottleneck(in_c: int, out_c: int, expansion: int, stride: int,
-                dw_per_channel: bool = False) -> NITILayer:
+                dw_per_channel: bool = False, proj_bits: int = 7) -> NITILayer:
     mid = in_c * expansion
     layers: List[NITILayer] = []
     if expansion != 1:
@@ -59,7 +59,7 @@ def _bottleneck(in_c: int, out_c: int, expansion: int, stride: int,
     layers += [
         NITIDepthwiseConv2D(mid, (3, 3), (stride, stride), "SAME",
                             per_channel=dw_per_channel, act="relu6"),
-        NITIConv2D(mid, out_c, (1, 1)),
+        NITIConv2D(mid, out_c, (1, 1), out_bits=proj_bits),
     ]
     seq = Sequential(layers)
     if stride == 1 and in_c == out_c:
@@ -73,12 +73,19 @@ class _SeqFlatten(Sequential):
 
 def mobilenet_v2_niti(
     num_classes: int = 10, width_mult: float = 1.0, variant: str = "cifar",
-    dw_per_channel: bool = False,
+    dw_per_channel: bool = False, proj_bits: int = 7,
 ) -> Sequential:
     """NITI int8 MobileNetV2. Logit channels padded to a multiple of
     4 like the reference pads NITI channels (mnistTrain.cpp:137-152).
     variant="cifar" (32x32, stride plan 1-1-2-2-2) or "imagenet" (224x224,
-    stem stride 2 + standard strides — the reference benchmark geometry)."""
+    stem stride 2 + standard strides — the reference benchmark geometry).
+
+    proj_bits=15 requants the linear-projection 1x1 outputs (and the
+    residual joins they feed) to int16 instead of int8 — this framework's
+    bottleneck-precision extension (r5 MNv2 study: per-tensor int8 at the
+    projections is the isolated full-NITI training blocker,
+    DIVERGENCE_r04.json mnv2_structure_isolation; the reference only
+    trains MNv2 fp32/QAT, demo/MobilenetV2Utils.cpp:34)."""
 
     if variant not in ("cifar", "imagenet"):
         raise ValueError(f"variant must be 'cifar' or 'imagenet', got {variant!r}")
@@ -98,7 +105,8 @@ def mobilenet_v2_niti(
         for i in range(n):
             s = stride if i == 0 else 1
             block = _bottleneck(in_c, out_c, expansion, s,
-                                dw_per_channel=dw_per_channel)
+                                dw_per_channel=dw_per_channel,
+                                proj_bits=proj_bits)
             if isinstance(block, ResidualBlock):
                 layers.append(block)
             else:

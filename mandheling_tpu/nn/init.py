@@ -57,14 +57,24 @@ def niti_xavier_int8_dw_per_channel(
         range_c = max|w[..., c]|
         exp_c   = ceil(log2(range_c)) - 7       (int32 vector, (C,))
         data_c  = round(w[..., c] / range_c * 127)
+
+    Each channel's range is floored at max_c(range)/2^cap with
+    cap = ops.depthwise.pc_shift_cap(kh*kw), so the exponent SPREAD never
+    exceeds the int32-safe accumulator-alignment cap (r4 advisor finding:
+    a spread beyond the cap would be silently clipped downstream and
+    mis-scale those channels). Quantizing a tiny channel against a
+    slightly larger range loses nothing representable.
     """
     kh, kw, one, c = shape_hwio
     assert one == 1, "depthwise weights are (KH, KW, 1, C)"
+    from ..ops.depthwise import pc_shift_cap
+
     fan_in = kh * kw
     fan_out = kh * kw
     std = jnp.sqrt(2.0 / (fan_in + fan_out))
     w = jax.random.normal(key, shape_hwio, jnp.float32) * std
     rng_c = jnp.max(jnp.abs(w), axis=(0, 1, 2))             # (C,)
+    rng_c = jnp.maximum(rng_c, jnp.max(rng_c) / (2.0 ** pc_shift_cap(kh * kw)))
     exp_c = (jnp.ceil(jnp.log2(rng_c)) - 7).astype(jnp.int32)
     data = jnp.round(w / rng_c[None, None, None, :] * 127.0).astype(jnp.int8)
     return QTensor(data, exp_c)

@@ -42,6 +42,7 @@ class NITIConv2D(NITILayer):
         stride: Tuple[int, int] = (1, 1),
         padding="VALID",
         act=None,
+        out_bits: int = 7,
     ):
         self.in_channels = in_channels
         self.out_channels = out_channels
@@ -49,6 +50,9 @@ class NITIConv2D(NITILayer):
         self.stride = tuple(stride)
         self.padding = padding
         self.act = act
+        # 7 = reference int8 contract; 15 = int16 output (the MNv2
+        # linear-projection extension, ops/numerics.requant_forward)
+        self.out_bits = int(out_bits)
 
     def init(self, key):
         kh, kw = self.kernel
@@ -60,7 +64,7 @@ class NITIConv2D(NITILayer):
         w: QTensor = params["w"]
         y, y_exp = conv_ops.conv2d_forward(
             q.data, q.exp, w.data, w.exp, self.stride, self.padding,
-            axis_name, act=self.act,
+            axis_name, act=self.act, out_bits=self.out_bits,
         )
         # residual: forward input (for the filter grad); with a fused act,
         # also the output + its exponent (for the activation's output-mask)

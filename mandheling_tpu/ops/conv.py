@@ -310,6 +310,9 @@ def _apply_act(y: jax.Array, exp_out: jax.Array, act: Optional[str]):
     clamp expressed inside the requant epilogue chain measures 22.7k."""
     if act is None:
         return y
+    if y.dtype != jnp.int8:
+        raise ValueError("fused activations are int8-only; int16 outputs "
+                         "(out_bits=15) are the linear-projection extension")
     if act == "relu6":
         from . import relu as relu_ops
 
@@ -333,6 +336,7 @@ def conv2d_forward(
     padding="VALID",
     axis_name: Optional[str] = None,
     act: Optional[str] = None,
+    out_bits: int = 7,
 ) -> Tuple[jax.Array, jax.Array]:
     """NITI int8 conv forward: (int8 y, int32 exp_out).
 
@@ -341,14 +345,23 @@ def conv2d_forward(
     `act="relu6"` applies the exponent-aware clamp fused into the requant
     chain (see _apply_act).
 
-    Under the Pallas backends, stride-1 convs run through the fused
+    `out_bits=15` requants the output to int16 (shift = bw - 15) instead
+    of the int8 contract — this framework's linear-bottleneck extension
+    (r5): MobileNetV2's projection 1x1 outputs carry signal that per-tensor
+    int8 requant destroys, and the reference never trains MNv2
+    integer-only at all (demo/MobilenetV2Utils.cpp is fp32/QAT-only).
+    int16 inputs (the following expand conv) take the XLA conv path with
+    widened operands; the int32-accumulate + range-estimate + psto chain
+    is unchanged.
+
+    Under the Pallas backends, stride-1 int8 convs run through the fused
     two-phase kernels (ops/kernels/fused_conv_int8.py): the int32
     accumulator never hits HBM; the cross-replica pmax slots between the
     max and requant phases.
     """
     exp_in = x_exp.astype(jnp.int32) + w_exp.astype(jnp.int32)
     interpret = _fused_enabled()
-    if interpret is not None:
+    if interpret is not None and out_bits == 7 and x.dtype == jnp.int8:
         pad = resolve_padding(padding, w.shape[:2], stride, x.shape[1:3])
         fused = _fused_conv_requant(
             x, w, tuple(stride), pad, axis_name, interpret
@@ -361,10 +374,11 @@ def conv2d_forward(
     m = _maybe_pmax(jnp.max(jnp.abs(acc)), axis_name)
     bw = numerics.range_estimate_from_max(m)
     kh, kw, ic, oc = w.shape
-    if (kh, kw) == (1, 1) and _recompute_matmul_acc(acc.size, ic, oc):
+    if ((kh, kw) == (1, 1) and x.dtype == jnp.int8
+            and _recompute_matmul_acc(acc.size, ic, oc)):
         x2, w2 = jax.lax.optimization_barrier((x, w))
         acc = conv2d_int8_acc(x2, w2, stride, padding)
-    y, e = numerics.requant_forward_from_bw(acc, exp_in, bw)
+    y, e = numerics.requant_forward_from_bw(acc, exp_in, bw, out_bits)
     return _apply_act(y, e, act), e
 
 
@@ -484,6 +498,11 @@ def conv2d_filter_grad_acc(
     carrying the forward stride — or, under the "matmul" strategy, one
     explicit im2col + int8 matmul. Both produce the identical int32 sum.
     """
+    # int16 activations (the MNv2 linear-projection extension) widen the
+    # output-diff operand so XLA sees matched types; values are unchanged
+    if x.dtype != gy.dtype:
+        common = jnp.promote_types(x.dtype, gy.dtype)
+        x, gy = x.astype(common), gy.astype(common)
     strategy = _FILTER_GRAD_STRATEGY
     stride1 = tuple(stride) == (1, 1)
     if strategy == "auto":

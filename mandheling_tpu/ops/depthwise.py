@@ -26,23 +26,45 @@ from .conv import (
 )
 
 
-_PC_SHIFT_CAP = 12  # |dw acc| <= 9*127^2 < 2^17.2; 2^(17.2+12) < 2^31 safe
+def pc_shift_cap(taps: int) -> int:
+    """Largest alignment left-shift s.t. the worst-case |dw acc| of
+    `taps` int8*int8 products stays int32: taps*127^2 << cap < 2^31.
+    3x3 -> 12 (the r4 hardcoded value), 5x5 -> 11, 7x7 -> 10. Derived per
+    kernel instead of assuming 9 taps (r4 advisor finding: a 7x7 acc
+    shifted by 12 would overflow int32)."""
+    import math
+
+    return 30 - math.ceil(math.log2(taps * 127 * 127))
 
 
-def _per_channel_shifts(w_exp: jax.Array):
+def _per_channel_shifts(w_exp: jax.Array, taps: int = 9):
     """(e_base scalar, shift_c vector or None) for a weight exponent that is
     either the per-tensor scalar (reference contract) or a (C,) vector
     (this framework's per-channel depthwise extension, r4).
 
     Vector case: every channel's accumulator is expressed at the SMALLEST
     channel exponent by a left shift of (exp_c - min exp_c) — int32-safe
-    under _PC_SHIFT_CAP — so the per-tensor range-estimate/psto contract
-    downstream is unchanged."""
+    under pc_shift_cap(taps) — so the per-tensor range-estimate/psto
+    contract downstream is unchanged. The init path
+    (nn/init.niti_xavier_int8_dw_per_channel) floors each channel's range
+    so the spread never exceeds the cap; a concrete (non-traced) exponent
+    that still exceeds it raises here instead of silently mis-scaling."""
+    cap = pc_shift_cap(taps)
     w_exp = w_exp.astype(jnp.int32)
     if w_exp.ndim == 0:
         return w_exp, None
     e_base = jnp.min(w_exp)
-    return e_base, jnp.clip(w_exp - e_base, 0, _PC_SHIFT_CAP)
+    shift = w_exp - e_base
+    if not isinstance(shift, jax.core.Tracer):
+        spread = int(jnp.max(shift))
+        if spread > cap:
+            raise ValueError(
+                f"per-channel dw exponent spread {spread} exceeds the "
+                f"int32-safe alignment cap {cap} for a {taps}-tap kernel; "
+                "re-initialize with niti_xavier_int8_dw_per_channel (which "
+                "floors the per-channel range) or narrow the exponents"
+            )
+    return e_base, jnp.clip(shift, 0, cap)
 
 
 def _recompute_dw_acc(acc_elems: int) -> bool:
@@ -199,7 +221,7 @@ def dwconv2d_forward(
 ) -> Tuple[jax.Array, jax.Array]:
     from .conv import _apply_act
 
-    e_base, pc_shift = _per_channel_shifts(w_exp)
+    e_base, pc_shift = _per_channel_shifts(w_exp, w.shape[0] * w.shape[1])
     exp_in = x_exp.astype(jnp.int32) + e_base
     interpret = _fused_enabled()
     if interpret is not None and pc_shift is None:
@@ -238,10 +260,10 @@ def dwconv2d_input_grad(
     channel's accumulator — which scales with that channel's weight
     exponent, since depthwise channels never mix — is aligned to the
     smallest channel exponent before the per-tensor requant."""
+    kh, kw, _, c = w.shape
     pc_shift = None
     if w_exp is not None and w_exp.ndim > 0:
-        _, pc_shift = _per_channel_shifts(w_exp)
-    kh, kw, _, c = w.shape
+        _, pc_shift = _per_channel_shifts(w_exp, kh * kw)
     (pt, _), (pl, _) = resolve_padding(padding, w.shape[:2], stride, x_spatial)
     sh, sw = stride
     ih, iw = x_spatial
@@ -360,7 +382,7 @@ def dwconv2d_filter_grad(
         # kernel when stride > 1 (same slice as the dense fgrad)
         acc = acc[:, :kh, :kw, :].transpose(1, 2, 0, 3)  # (kh, kw, 1, C)
         if w_exp is not None and w_exp.ndim > 0:
-            _, pc_shift = _per_channel_shifts(w_exp)
+            _, pc_shift = _per_channel_shifts(w_exp, kh * kw)
             acc = numerics.trunc_shift_div(acc, pc_shift[None, None, None, :])
         from . import allreduce
 

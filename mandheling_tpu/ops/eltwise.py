@@ -20,20 +20,26 @@ from . import numerics
 
 
 def add_int8(
-    a: jax.Array, a_exp: jax.Array, b: jax.Array, b_exp: jax.Array
+    a: jax.Array, a_exp: jax.Array, b: jax.Array, b_exp: jax.Array,
+    out_bits: int = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Exponent-aligned int8 residual add -> (int8, exp_out).
+    """Exponent-aligned integer residual add -> (intN, exp_out).
 
     align to max(a_exp, b_exp): x >> (max_exp - x_exp), int32 sum, then
-    forward requant (shift = bw - 7 rules) relative to the aligned exponent.
-    """
+    forward requant (shift = bw - out_bits rules) relative to the aligned
+    exponent. out_bits defaults to the width of the wider operand (int16
+    operands — the MNv2 linear-projection extension, ops/numerics
+    out_bits=15 — produce an int16 sum so the bottleneck chain keeps its
+    precision through the residual joins)."""
+    if out_bits is None:
+        out_bits = 15 if (a.dtype == jnp.int16 or b.dtype == jnp.int16) else 7
     a_exp = a_exp.astype(jnp.int32)
     b_exp = b_exp.astype(jnp.int32)
     e = jnp.maximum(a_exp, b_exp)
     ai = numerics.trunc_shift_div(a.astype(jnp.int32), e - a_exp)
     bi = numerics.trunc_shift_div(b.astype(jnp.int32), e - b_exp)
     acc = ai + bi
-    return numerics.requant_forward(acc, e)
+    return numerics.requant_forward(acc, e, out_bits)
 
 
 def pad_int8(x: jax.Array, pad: int) -> jax.Array:

@@ -70,9 +70,18 @@ def conv_acc(
     lhs_dilation: Optional[Tuple[int, int]] = None,
     rhs_dilation: Optional[Tuple[int, int]] = None,
 ) -> jax.Array:
-    """int8 NHWC conv with int32 accumulation on the selected backend."""
+    """int8 NHWC conv with int32 accumulation on the selected backend.
+
+    Non-int8 lhs (the int16 linear-projection outputs of the MNv2
+    bottleneck extension, ops/numerics.requant_forward out_bits=15) always
+    takes the XLA path with dtype-matched operands — the Pallas kernels
+    are int8-tile-specific."""
     lhs_dilation = lhs_dilation or (1, 1)
     rhs_dilation = rhs_dilation or (1, 1)
+    if x.dtype != jnp.int8 or w.dtype != jnp.int8:
+        common = jnp.promote_types(x.dtype, w.dtype)
+        return _xla_conv_acc(x.astype(common), w.astype(common), strides,
+                             padding, lhs_dilation, rhs_dilation)
     if _BACKEND != "xla":
         from . import conv_int8  # deferred: pallas import is optional
 
@@ -87,6 +96,13 @@ def conv_acc(
 
 def matmul_acc(a: jax.Array, b: jax.Array) -> jax.Array:
     """int8 (M,K) x int8 (K,N) -> int32 (M,N) on the selected backend."""
+    if a.dtype != jnp.int8 or b.dtype != jnp.int8:
+        common = jnp.promote_types(a.dtype, b.dtype)
+        return jax.lax.dot_general(
+            a.astype(common), b.astype(common),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
     if _BACKEND != "xla":
         from . import matmul_int8
 

@@ -73,8 +73,11 @@ def trunc_shift_div(x: jax.Array, s: jax.Array) -> jax.Array:
     return jnp.right_shift(x + bias, s)
 
 
-def psto_round(acc: jax.Array, shift: jax.Array) -> jax.Array:
-    """Pseudo-stochastic right shift of int32 by `shift` bits -> int32 in [-127,127].
+def psto_round(acc: jax.Array, shift: jax.Array, rail: int = 127) -> jax.Array:
+    """Pseudo-stochastic right shift of int32 by `shift` bits -> int32 in
+    [-rail, rail] (rail=127 is the reference int8 contract; rail=32767 is
+    this framework's int16 extension for the MobileNetV2 linear-bottleneck
+    study, r5).
 
     Bit-exact port of the formula in ``NITI_MNNPstoShiftInt32``
     (CommonOptFunction.cpp:1595-1627):
@@ -107,7 +110,7 @@ def psto_round(acc: jax.Array, shift: jax.Array) -> jax.Array:
     qprob = jnp.right_shift(prob, h)  # prob >= 0: logical == trunc div
     prand = jnp.left_shift(jnp.bitwise_and(prob, hmask), odd)
     round_1 = (qprob > prand).astype(jnp.int32)
-    return int8_clip(round_temp + round_1 * int_sign(acc))
+    return jnp.clip(round_temp + round_1 * int_sign(acc), -rail, rail)
 
 
 def psto_shift_int8(acc: jax.Array, shift: jax.Array) -> jax.Array:
@@ -115,8 +118,8 @@ def psto_shift_int8(acc: jax.Array, shift: jax.Array) -> jax.Array:
     return psto_round(acc, shift).astype(jnp.int8)
 
 
-def requant_forward(acc: jax.Array, exp_in: jax.Array):
-    """Forward-conv requantization: int32 accumulator -> (int8, exp_out).
+def requant_forward(acc: jax.Array, exp_in: jax.Array, out_bits: int = 7):
+    """Forward-conv requantization: int32 accumulator -> (intN, exp_out).
 
     Reference: NITI_Conv_Int8.cpp:255-307 (also NITI_DeConv_Int8.cpp:294-318).
 
@@ -127,32 +130,44 @@ def requant_forward(acc: jax.Array, exp_in: jax.Array):
 
     `exp_in` must already include the weight exponent (exp_x + exp_w).
     Returns (int8 tensor, int32 scalar exponent).
+
+    out_bits=7 is the reference int8 contract. out_bits=15 is this
+    framework's int16 extension (same rules with shift = bw - 15, psto
+    rail 32767, int16 output) — used for MobileNetV2 linear-projection
+    outputs, where per-tensor int8 requant destroys the bottleneck signal
+    (r5 study; the reference never trains MNv2 integer-only at all,
+    demo/MobilenetV2Utils.cpp).
     """
     bw = range_estimate(acc)
-    return requant_forward_from_bw(acc, exp_in, bw)
+    return requant_forward_from_bw(acc, exp_in, bw, out_bits)
 
 
-def forward_shift(bw: jax.Array) -> jax.Array:
-    """Effective forward shift from the bitwidth: bw-7, promoted to 2 when
-    exactly 1, 0 when <= 0 (NITI_Conv_Int8.cpp:262-305)."""
-    shift = bw - 7
+def forward_shift(bw: jax.Array, out_bits: int = 7) -> jax.Array:
+    """Effective forward shift from the bitwidth: bw-out_bits, promoted to
+    2 when exactly 1, 0 when <= 0 (NITI_Conv_Int8.cpp:262-305)."""
+    shift = bw - out_bits
     return jnp.where(shift > 1, shift, jnp.where(shift == 1, 2, 0))
 
 
-def requant_forward_from_bw(acc: jax.Array, exp_in: jax.Array, bw: jax.Array):
+def requant_forward_from_bw(acc: jax.Array, exp_in: jax.Array, bw: jax.Array,
+                            out_bits: int = 7):
     """Forward requantization given a precomputed bitwidth (see requant_forward).
 
     Split out so data-parallel callers can compute `bw` from a cross-replica
     pmax of |acc| and keep every replica's shift identical.
     """
-    eff_shift = forward_shift(bw)
+    if out_bits not in (7, 15):
+        raise ValueError(f"out_bits must be 7 or 15, got {out_bits}")
+    dtype = jnp.int8 if out_bits == 7 else jnp.int16
+    rail = (1 << out_bits) - 1
+    eff_shift = forward_shift(bw, out_bits)
     exp_out = exp_in.astype(jnp.int32) + eff_shift
-    shifted = psto_round(acc, eff_shift)
-    # shift <= 0 path is a *plain C cast* to int8 (wraps, not clips):
+    shifted = psto_round(acc, eff_shift, rail)
+    # shift <= 0 path is a *plain C cast* (wraps, not clips):
     # `output_ptr[i] = (int8_t)outputDataPtr[i]` — NITI_Conv_Int8.cpp:301-305.
-    plain = acc.astype(jnp.int32).astype(jnp.int8).astype(jnp.int32)
+    plain = acc.astype(jnp.int32).astype(dtype).astype(jnp.int32)
     out = jnp.where(eff_shift > 0, shifted, plain)
-    return out.astype(jnp.int8), exp_out
+    return out.astype(dtype), exp_out
 
 
 def requant_grad(acc: jax.Array, margin: int):

@@ -50,9 +50,16 @@ def relu6(x: jax.Array, exp: jax.Array) -> jax.Array:
 
 
 def relu6_grad(x: jax.Array, exp: jax.Array, gy: jax.Array) -> jax.Array:
-    """Pass gy where the forward input was strictly inside (0, cap)."""
+    """Pass gy where the forward input was strictly inside (0, cap).
+
+    cap == 127 means the 6.0 bound is NOT representable at this exponent
+    (6*2^-exp > 127, i.e. every int8 value is below 6.0) — the clamp was a
+    no-op rail saturation, not a relu6 clip, so x == 127 still has true
+    derivative 1 and must pass gradient (otherwise saturated units could
+    never recover, unlike plain NITIRelu; r4 advisor finding)."""
     cap = relu6_cap(exp).astype(jnp.int8)
-    return jnp.where((x > jnp.int8(0)) & (x < cap), gy, jnp.int8(0))
+    upper = (x < cap) | (cap == jnp.int8(127))
+    return jnp.where((x > jnp.int8(0)) & upper, gy, jnp.int8(0))
 
 
 def relu6_grad_from_output(y: jax.Array, exp: jax.Array,
@@ -64,6 +71,10 @@ def relu6_grad_from_output(y: jax.Array, exp: jax.Array,
     residual already holds), instead of pinning the pre-clip tensor too.
     Measured: the pre-clip liveness was what pushed the MNv2 step from
     23.7k to 17.7k samples/s (layout/copy blowup around the extra live
-    int8 tensors at every relu6 site)."""
+    int8 tensors at every relu6 site).
+
+    Same cap == 127 escape as relu6_grad: a saturated rail is not a relu6
+    clip, so y == 127 passes gradient when 6.0 is unrepresentable."""
     cap = relu6_cap(exp).astype(jnp.int8)
-    return jnp.where((y > jnp.int8(0)) & (y < cap), gy, jnp.int8(0))
+    upper = (y < cap) | (cap == jnp.int8(127))
+    return jnp.where((y > jnp.int8(0)) & upper, gy, jnp.int8(0))

@@ -244,9 +244,13 @@ def build_onnx_sequential(
             a = node.attribute.add(); a.name = "kernel_shape"; a.ints.extend(spec.get("kernel", (2, 2)))
             a = node.attribute.add(); a.name = "strides"; a.ints.extend(spec.get("strides", (2, 2)))
         elif op == "Clip":
+            # opset 11+ (declared 17): min/max are INPUTS, not attributes
             node.input.append(cur)
-            a = node.attribute.add(); a.name = "min"; a.f = float(spec.get("min", 0.0)); a.type = 1
-            a = node.attribute.add(); a.name = "max"; a.f = float(spec.get("max", 6.0)); a.type = 1
+            for key, default in (("min", 0.0), ("max", 6.0)):
+                n = f"{node.name}_{key}"
+                g.initializer.append(np_to_tensor(
+                    n, np.asarray(float(spec.get(key, default)), np.float32)))
+                node.input.append(n)
         else:
             node.input.append(cur)
         node.output.append(out_name)
@@ -330,8 +334,12 @@ def build_onnx_graph(
         elif op == "Concat":
             a = node.attribute.add(); a.name = "axis"; a.i = int(spec.get("axis", 1)); a.type = 2
         elif op == "Clip":
-            a = node.attribute.add(); a.name = "min"; a.f = float(spec.get("min", 0.0)); a.type = 1
-            a = node.attribute.add(); a.name = "max"; a.f = float(spec.get("max", 6.0)); a.type = 1
+            # opset 11+ (declared 17): min/max are INPUTS, not attributes
+            for key, default in (("min", 0.0), ("max", 6.0)):
+                n = f"{node.name}_{key}"
+                g.initializer.append(np_to_tensor(
+                    n, np.asarray(float(spec.get(key, default)), np.float32)))
+                node.input.append(n)
         node.output.extend(outs)
     g.output.append(vi(output))
     if path:

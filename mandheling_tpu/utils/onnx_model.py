@@ -96,6 +96,22 @@ class _Importer:
     def _act_inputs(self, node) -> List[str]:
         return [n for n in node.input if n and n not in self.init]
 
+    def _clip_bounds(self, node) -> Tuple[Optional[float], Optional[float]]:
+        """(min, max) of a Clip node. Opset <= 10 carries them as node
+        attributes; opset 11+ (the torch export default) carries them as
+        optional INPUTS backed by initializers (r4 advisor finding — a
+        torch ReLU6 exported as Clip was previously unrecognized). Bounds
+        that are neither attribute nor initializer stay None."""
+        a = _attrs(node)
+        lo, hi = a.get("min"), a.get("max")
+        ins = list(node.input)
+        if lo is None and len(ins) > 1 and ins[1] in self.init:
+            lo = float(np.asarray(tensor_to_np(self.init[ins[1]])).reshape(()))
+        if hi is None and len(ins) > 2 and ins[2] in self.init:
+            hi = float(np.asarray(tensor_to_np(self.init[ins[2]])).reshape(()))
+        return (None if lo is None else float(lo),
+                None if hi is None else float(hi))
+
     # ------------------------------------------------------- linear nodes
 
     def _convert_node(self, node, st: _Shape, layers: List, params: List) -> str:
@@ -142,13 +158,14 @@ class _Importer:
             st.h = (st.h + pt + pb - kh) // stride[0] + 1
             st.w = (st.w + pl_ + pr - kw) // stride[1] + 1
             return out
-        if op == "Relu" or (op == "Clip"
-                            and float(_attrs(node).get("min", 1)) == 0.0):
+        clip_lo, clip_hi = (self._clip_bounds(node) if op == "Clip"
+                            else (None, None))
+        if op == "Relu" or (op == "Clip" and clip_lo == 0.0):
             # Clip(0, 6) is torch/ONNX relu6 — the exact exponent-aware
             # NITI analog since r4 (ops/relu.relu6); other Clip(0, max)
-            # bounds keep the plain-relu approximation
-            a = _attrs(node)
-            if op == "Clip" and float(a.get("max", -1)) == 6.0:
+            # bounds keep the plain-relu approximation. Bounds resolve
+            # from attributes (opset <= 10) or initializer inputs (11+).
+            if op == "Clip" and clip_hi == 6.0:
                 layers.append(NITIRelu6())
             else:
                 layers.append(NITIRelu())

@@ -285,3 +285,37 @@ def test_fused_relu6_matches_separate_layers():
     gxf2, _ = dwf.bwd(pdf, rf2, gyd)
     gxs2, _ = dws.bwd(pds, rs2, gyd)
     np.testing.assert_array_equal(np.asarray(gxf2), np.asarray(gxs2))
+
+
+def test_pc_shift_cap_derivation_and_spread_check():
+    """pc_shift_cap derives the int32-safe alignment cap from the tap
+    count (r4 advisor finding: the hardcoded 12 assumed 3x3); a concrete
+    exponent vector whose spread exceeds the cap raises instead of being
+    silently clipped, and the per-channel init floors the range so its
+    spread always fits."""
+    from mandheling_tpu.nn.init import niti_xavier_int8_dw_per_channel
+    from mandheling_tpu.ops.depthwise import (
+        _per_channel_shifts,
+        pc_shift_cap,
+    )
+
+    # taps*127^2 << cap must stay below 2^31
+    for taps in (9, 25, 49):
+        cap = pc_shift_cap(taps)
+        assert (taps * 127 * 127) << cap < 2 ** 31
+        # the ceil(log2) form is conservative by at most one bit
+        assert (taps * 127 * 127) << (cap + 2) >= 2 ** 31
+    assert pc_shift_cap(9) == 12  # the r4 constant, recovered
+
+    e_base, shift = _per_channel_shifts(jnp.asarray([-7, -9, -5], jnp.int32),
+                                        taps=9)
+    assert int(e_base) == -9
+    np.testing.assert_array_equal(np.asarray(shift), [2, 0, 4])
+
+    with pytest.raises(ValueError, match="spread"):
+        _per_channel_shifts(jnp.asarray([-20, -2], jnp.int32), taps=49)
+
+    # init floor: even a 7x7 kernel's exponent spread fits its cap
+    w = niti_xavier_int8_dw_per_channel(jax.random.PRNGKey(0), (7, 7, 1, 64))
+    spread = int(jnp.max(w.exp) - jnp.min(w.exp))
+    assert spread <= pc_shift_cap(49)

@@ -209,6 +209,42 @@ def test_niti_model_from_onnx_gemm_perm():
     assert int(got.exp) == int(expected.exp)
 
 
+def test_clip_bounds_from_inputs_and_attributes():
+    """Opset 11+ Clip carries min/max as initializer INPUTS (the torch
+    export default) — the importer must recognize Clip(0, 6) as NITIRelu6
+    either way (r4 advisor finding: only attributes were read)."""
+    from mandheling_tpu.nn.layers import NITIRelu, NITIRelu6
+    from mandheling_tpu.utils.onnx_model import niti_model_from_onnx
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(0, 0.2, (4, 1, 3, 3)).astype(np.float32)
+    # the builder now writes input-style bounds (opset 11+ wire form)
+    model_pb = onnx_io.build_onnx_sequential(
+        [("Conv", {"w": w}), ("Clip", {"min": 0.0, "max": 6.0})],
+        (1, 1, 8, 8),
+    )
+    clip = [n for n in model_pb.graph.node if n.op_type == "Clip"][0]
+    assert len(clip.input) == 3 and not clip.attribute
+    model, _ = niti_model_from_onnx(model_pb)
+    assert any(isinstance(l, NITIRelu6) for l in model.layers)
+
+    # attribute-style (opset <= 10) still resolves
+    del clip.input[1:]
+    a = clip.attribute.add(); a.name = "min"; a.f = 0.0; a.type = 1
+    a = clip.attribute.add(); a.name = "max"; a.f = 6.0; a.type = 1
+    model2, _ = niti_model_from_onnx(model_pb)
+    assert any(isinstance(l, NITIRelu6) for l in model2.layers)
+
+    # Clip(0, max != 6) keeps the plain-relu approximation, input-style too
+    model_pb3 = onnx_io.build_onnx_sequential(
+        [("Conv", {"w": w}), ("Clip", {"min": 0.0, "max": 3.0})],
+        (1, 1, 8, 8),
+    )
+    model3, _ = niti_model_from_onnx(model_pb3)
+    assert any(isinstance(l, NITIRelu) for l in model3.layers)
+    assert not any(isinstance(l, NITIRelu6) for l in model3.layers)
+
+
 def test_niti_model_from_onnx_rejects_bias_and_branches():
     from mandheling_tpu.utils.onnx_model import niti_model_from_onnx
 

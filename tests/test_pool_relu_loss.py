@@ -252,6 +252,27 @@ def test_relu6_cap_and_clip():
     np.testing.assert_array_equal(np.asarray(g), [0, 0, 10, 0, 0, 0])
 
 
+def test_relu6_saturated_rail_passes_gradient():
+    """exp <= -5 makes the 6.0 bound unrepresentable (cap saturates to the
+    int8 rail 127): the clamp is NOT a relu6 clip there, so x == 127 (true
+    value 127*2^-5 < 6, derivative 1) must pass gradient — otherwise
+    saturated units could never recover (r4 advisor finding)."""
+    from mandheling_tpu.ops import relu as relu_ops
+
+    x = jnp.asarray(np.array([0, 1, 126, 127], np.int8))
+    gy = jnp.asarray(np.array([10, 10, 10, 10], np.int8))
+    g = relu_ops.relu6_grad(x, jnp.int32(-5), gy)
+    np.testing.assert_array_equal(np.asarray(g), [0, 10, 10, 10])
+    # output-masked form: y == x at exp -5 (identity clamp)
+    y = relu_ops.relu6(x, jnp.int32(-5))
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+    g2 = relu_ops.relu6_grad_from_output(y, jnp.int32(-5), gy)
+    np.testing.assert_array_equal(np.asarray(g2), [0, 10, 10, 10])
+    # a REAL clip (exp -4, cap 96) still masks the rail
+    g3 = relu_ops.relu6_grad(x, jnp.int32(-4), gy)
+    np.testing.assert_array_equal(np.asarray(g3), [0, 10, 0, 0])
+
+
 def test_relu6_layer_roundtrip():
     from mandheling_tpu.nn.layers import NITIRelu6
     from mandheling_tpu.ops.qtensor import QTensor

@@ -224,6 +224,15 @@ def mobilenet_v2_train(args):
     from mandheling_tpu.models import mobilenet_v2_niti
     from mandheling_tpu.train.trainer import train_niti
 
+    print(
+        "WARNING: full-NITI (integer-only) MobileNetV2 training is a known\n"
+        "open problem: the expand->dw->linear-projection chain under\n"
+        "per-tensor activation requant keeps accuracy at chance (measured,\n"
+        "DIVERGENCE_r04.json mnv2_structure_isolation). The reference only\n"
+        "ever trains MNv2 fp32/QAT — use the MobilenetV2Transfer or\n"
+        "DistillTrainQuant demos for a config that learns, or\n"
+        "MobilenetV1Train for integer-only MobileNet (per-channel dw)."
+    )
     xtr, ytr, real = load_or_synthesize_cifar(args.root, train=True,
                                               synth_n=512)
     xte, yte, _ = load_or_synthesize_cifar(args.root, train=False,

@@ -177,7 +177,22 @@ def main():
     ap.add_argument("--epochs", type=int, default=15)
     ap.add_argument("--cells", default="int16_pc:0,int16_pc:1,int16:0,"
                                        "pc:0,pc:1,mnv1_pc:1")
+    # r5 margin hypothesis: the r4 sweep only tried margins 2..4 (which
+    # ENLARGE the integer update: requant keeps ~margin+1 top bits);
+    # with MNv2's loss RISING under every precision variant, the untried
+    # direction is SMALLER updates (margin 0/1)
+    ap.add_argument("--dense-margin", type=int, default=None)
+    ap.add_argument("--dw-margin", type=int, default=None)
     args = ap.parse_args()
+
+    if args.dense_margin is not None:
+        from mandheling_tpu.ops import conv as conv_ops
+
+        conv_ops.set_fgrad_margin(args.dense_margin)
+    if args.dw_margin is not None:
+        from mandheling_tpu.ops import depthwise as dw_ops
+
+        dw_ops.set_dw_fgrad_margin(args.dw_margin)
 
     from tools.accuracy_bench import load_cifar_or_fallback
 
@@ -199,8 +214,13 @@ def main():
         "pt": lambda: mobilenet_v2_niti(),
         "mnv1_pc": lambda: mobilenet_v1_niti(dw_per_channel=True),
     }
+    from mandheling_tpu.ops import conv as conv_ops
+    from mandheling_tpu.ops import depthwise as dw_ops
+
     out = {"study": "r5 MNv2 linear-bottleneck int16 extension",
-           "dataset": name, "epochs": args.epochs, "cells": []}
+           "dataset": name, "epochs": args.epochs,
+           "dense_margin": conv_ops.get_fgrad_margin(),
+           "dw_margin": dw_ops.get_dw_fgrad_margin(), "cells": []}
     for spec in args.cells.split(","):
         cname, seed = spec.split(":")
         is_v2 = cname != "mnv1_pc"

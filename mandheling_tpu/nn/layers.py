@@ -102,7 +102,12 @@ class NITIConv2D(NITILayer):
     # accumulation (pipeline parallelism — the reference's split-batch
     # gradient contract: int32 sums over the whole batch, ONE shift at the
     # end, NITI_DSPGradientSplitBatchConv_Int8.cpp)
-    grad_margin = 2  # conv filter grads shift by bw-2
+    @property
+    def grad_margin(self):
+        """Filter-grad requant margin for the deferred (pipeline) requant —
+        tracks the global knob so GPipe matches the single-chip update
+        when a model ships a non-default margin (the r5 MNv2 recipe)."""
+        return conv_ops.get_fgrad_margin()
 
     def bwd_acc(self, params, res, gy, axis_name=None, need_input_grad=True):
         """(input grad or None, {"w": int32 accumulator})."""

@@ -613,10 +613,14 @@ def _filter_grad_acc_matmul(
 
 # Dense-conv filter-grad requant margin (shift = bw - margin). The
 # reference contract is margin=2 (NITI_GradientConv_Int8.cpp:274-296) and
-# that is the default; the knob exists for the NITI-at-depth stability
-# study (tools/probes/mnv2_divergence_probe.py): a larger margin damps the
-# no-learning-rate integer update w <- w - g, which is the only step-size
-# control NITI training has.
+# that is the default. The margin is the only step-size control NITI
+# training has — the requant keeps ~margin+1 TOP bits, so margin 2 means
+# integer updates up to ~+-4 per step and margin 0 means +-1. Measured
+# (r5, DIVERGENCE_r05.json): MobileNetV2's inverted bottleneck requires
+# margins <= 1 (with per-channel dw exponents) to train integer-only —
+# at margin 2 its loss RISES monotonically while LeNet/ResNet/MNv1 train
+# fine; margins 0/1 take it from chance to 0.97-0.98, above its fp32
+# comparator. The MobilenetV2Train demo sets 1/1.
 _FGRAD_MARGIN = 2
 
 

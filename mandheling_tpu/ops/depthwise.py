@@ -146,12 +146,12 @@ def get_dw_impl() -> str:
 # Depthwise filter-grad requant margin (shift = bw - margin). The dense
 # NITI contract uses margin=2 (NITI_GradientConv_Int8.cpp:274-296), but
 # depthwise is THIS framework's extension — the reference has no NITI
-# depthwise op and trains its MobileNets in fp32 — and the dense margin is
-# measured unstable here: with only kh*kw-tap accumulation depth, bw-2
-# gradients reach weight magnitude and full-NITI MobileNetV1/V2 training
-# diverges (r3, ACCURACY_r03.json finding: loss -> 2^19 by epoch 14).
-# A larger margin damps the per-step integer update for dw kernels only;
-# the measured default is set by tools/probes/dw_margin_sweep.py.
+# depthwise op and trains its MobileNets in fp32. r5 finding
+# (DIVERGENCE_r05.json): full-NITI MobileNetV2 needs margins <= 1 (dense
+# AND dw, with per-channel dw exponents) — the requant keeps ~margin+1
+# top bits, and the bottleneck's expanded fan-in makes +-4-unit updates
+# (margin 2) destructive. MNv1 trains at the default 2; the
+# MobilenetV2Train demo sets 1/1.
 _DW_FGRAD_MARGIN = 2
 
 

@@ -258,7 +258,18 @@ def main():
     ap.add_argument("--out", default="/tmp/r5_grad_direction.json")
     ap.add_argument("--models", default="mnv2_int16_pc,mnv1_pc,resnet18")
     ap.add_argument("--stages", default="5,20")
+    ap.add_argument("--dense-margin", type=int, default=None)
+    ap.add_argument("--dw-margin", type=int, default=None)
     args = ap.parse_args()
+
+    if args.dense_margin is not None:
+        from mandheling_tpu.ops import conv as conv_ops
+
+        conv_ops.set_fgrad_margin(args.dense_margin)
+    if args.dw_margin is not None:
+        from mandheling_tpu.ops import depthwise as dw_ops
+
+        dw_ops.set_dw_fgrad_margin(args.dw_margin)
 
     from tools.accuracy_bench import load_cifar_or_fallback
 

@@ -208,39 +208,46 @@ def distributed_niti_train(args):
 
 @demo("MobilenetV2Train")
 def mobilenet_v2_train(args):
-    """NITI int8 MobileNetV2 on CIFAR-10 (reference
+    """Full-NITI int8 MobileNetV2 on CIFAR-10 (reference
     MobilenetV2Utils::train, demo/MobilenetV2Utils.cpp:34; CIFAR bin root or
-    synthetic fallback).
+    synthetic fallback) — integer-only training the reference never does
+    (its MNv2 demos are fp32/QAT).
 
-    Full-NITI MNv2 stability (r4 finding, ACCURACY_r04 /
-    tools/probes/mnv2_divergence_probe.py): with unbounded relu the forward
-    exponents run away and training diverges (the r3 finding); the model
-    now uses the reference architecture's ReLU6 (MobilenetV2.cpp:67) under
-    the NITI contract, which bounds the exponents. The reference itself
-    only ever trains MNv2 fp32/QAT (MobilenetV2Utils.cpp,
-    distillTrainQuant) — for those configs use the MobilenetV2Transfer /
-    DistillTrainQuant demos."""
+    The r5 recipe (DIVERGENCE_r05.json): per-channel depthwise weight
+    exponents AND filter-grad requant margins 1/1. The two are jointly
+    necessary — per-tensor dw at any margin stays at chance, and
+    per-channel dw at the reference margin 2 stays at chance with RISING
+    loss (the bottleneck's 6x-expanded fan-in makes ~+-4-unit integer
+    updates destructive). With both: 0.98 on digits-CIFAR at 60 epochs,
+    ABOVE the fp32+BN comparator (best 0.85/0.94) on the same protocol.
+    Forward precision was ruled out first: int16 projection outputs
+    (requant SQNR 75-85 dB) changed nothing. Expect a ~12-epoch
+    chance-level plateau before breakout; use 40+ epochs."""
     from mandheling_tpu.data.cifar import load_or_synthesize_cifar
     from mandheling_tpu.models import mobilenet_v2_niti
+    from mandheling_tpu.ops import conv as conv_ops
+    from mandheling_tpu.ops import depthwise as dw_ops
     from mandheling_tpu.train.trainer import train_niti
 
-    print(
-        "WARNING: full-NITI (integer-only) MobileNetV2 training is a known\n"
-        "open problem: the expand->dw->linear-projection chain under\n"
-        "per-tensor activation requant keeps accuracy at chance (measured,\n"
-        "DIVERGENCE_r04.json mnv2_structure_isolation). The reference only\n"
-        "ever trains MNv2 fp32/QAT — use the MobilenetV2Transfer or\n"
-        "DistillTrainQuant demos for a config that learns, or\n"
-        "MobilenetV1Train for integer-only MobileNet (per-channel dw)."
-    )
+    conv_ops.set_fgrad_margin(1)
+    dw_ops.set_dw_fgrad_margin(1)
+    print("(full-NITI MNv2 recipe: per-channel dw exponents + fgrad "
+          "margins 1/1 — see DIVERGENCE_r05.json; breakout needs ~12+ "
+          "epochs)")
     xtr, ytr, real = load_or_synthesize_cifar(args.root, train=True,
                                               synth_n=512)
     xte, yte, _ = load_or_synthesize_cifar(args.root, train=False,
                                            synth_n=256)
     if not real:
         print("(no CIFAR-10 bin files found — using synthetic dataset)")
-    _, acc = train_niti((xtr, ytr), (xte, yte), epochs=args.epochs,
-                        batch=32 if real else 16, model=mobilenet_v2_niti())
+    try:
+        _, acc = train_niti(
+            (xtr, ytr), (xte, yte), epochs=args.epochs,
+            batch=32 if real else 16,
+            model=mobilenet_v2_niti(dw_per_channel=True))
+    finally:
+        conv_ops.set_fgrad_margin(2)
+        dw_ops.set_dw_fgrad_margin(2)
     print(f"final test accuracy: {acc:.4f}")
 
 

@@ -319,3 +319,61 @@ def test_pc_shift_cap_derivation_and_spread_check():
     w = niti_xavier_int8_dw_per_channel(jax.random.PRNGKey(0), (7, 7, 1, 64))
     spread = int(jnp.max(w.exp) - jnp.min(w.exp))
     assert spread <= pc_shift_cap(49)
+
+
+def test_fgrad_margin_scales_update_magnitude():
+    """The filter-grad requant keeps ~margin+1 top bits — the r5 MNv2
+    recipe depends on this being the effective step-size knob: margin 0
+    yields +-1 updates; larger margins grow the magnitude."""
+    from mandheling_tpu.ops import conv as conv_ops
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-90, 90, (8, 8, 8, 16)).astype(np.int8))
+    gy = jnp.asarray(rng.integers(-90, 90, (8, 8, 8, 24)).astype(np.int8))
+    maxes = {}
+    for m in (0, 2, 4):
+        conv_ops.set_fgrad_margin(m)
+        try:
+            g = conv_ops.conv2d_filter_grad(x, gy, (3, 3), (1, 1), "SAME")
+        finally:
+            conv_ops.set_fgrad_margin(2)
+        maxes[m] = int(jnp.max(jnp.abs(g.astype(jnp.int32))))
+    assert maxes[0] <= 1
+    assert maxes[0] <= maxes[2] <= maxes[4]
+    assert maxes[4] > 1
+
+
+def test_mnv2_train_demo_recipe_restores_margins():
+    """MobilenetV2Train sets the r5 margins (1/1) for its run and
+    restores the reference defaults afterwards."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+    from types import SimpleNamespace
+
+    from tools.run_train_demo import DEMOS
+
+    from mandheling_tpu.ops import conv as conv_ops
+    from mandheling_tpu.ops import depthwise as dw_ops
+    from mandheling_tpu.train import trainer
+
+    seen = {}
+    orig = trainer.train_niti
+
+    def fake_train(*a, **k):
+        seen["dense"] = conv_ops.get_fgrad_margin()
+        seen["dw"] = dw_ops.get_dw_fgrad_margin()
+        seen["pc"] = any(
+            getattr(l, "per_channel", False) for l in k["model"].layers)
+        return None, 0.0
+
+    trainer.train_niti = fake_train
+    try:
+        DEMOS["MobilenetV2Train"](SimpleNamespace(root="/nonexistent",
+                                                  epochs=1))
+    finally:
+        trainer.train_niti = orig
+    assert seen == {"dense": 1, "dw": 1, "pc": True}
+    assert conv_ops.get_fgrad_margin() == 2
+    assert dw_ops.get_dw_fgrad_margin() == 2

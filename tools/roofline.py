@@ -182,10 +182,13 @@ def bench_expand_requant(shape=(256, 32, 32, 24), oc=144):
     x = jnp.asarray(rng.integers(-100, 100, shape), jnp.int8)
     w = jnp.asarray(rng.integers(-20, 20, (1, 1, ic, oc)), jnp.int8)
 
+    # the conv expands ic -> oc, so the output cannot feed the next
+    # iteration directly (time_fn_device requires a type-stable carry);
+    # thread the dependency through a cheap slice back to the input shape
     def fn(x, w):
         y, _ = conv_ops.conv2d_forward(
             x, jnp.int32(-5), w, jnp.int32(-6), (1, 1), "VALID")
-        return y
+        return y[..., :ic]
 
     dt = time_fn_device(fn, x, w)
     flops = 2 * b * h * w_ * ic * oc
@@ -310,9 +313,13 @@ def main():
     else:
         print(f"device: {jax.devices()[0].device_kind}, peak int8 ~{peak} TOPS")
         for r in rows:
+            if "error" in r:
+                print(f"{r['kernel']:28s} ERROR {r['error']}")
+                continue
             print(
-                f"{r['kernel']:28s} n={r['n']:5d}  {r['ms']:8.3f} ms  "
-                f"{r['tops']:7.1f} TOPS  {100*r['frac_peak']:5.1f}% of peak"
+                f"{r['kernel']:28s} n={r.get('n', 0):5d}  "
+                f"{r['ms']:8.3f} ms  {r['tops']:7.1f} TOPS  "
+                f"{100 * r['frac_peak']:5.1f}% of peak"
             )
 
 

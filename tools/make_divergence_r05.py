@@ -72,7 +72,13 @@ def main():
         "int16_pc_m11": load("/tmp/r5_m11_i16pc.json"),
         "pc_m11": load("/tmp/r5_margin11_pc.json"),
     }
-    grad = load("/tmp/r5_grad_direction.json")
+    grad = {
+        "mnv2_pc_margin2": load("/tmp/r5_gdir_m2.json"),
+        "mnv2_pc_margin1": load("/tmp/r5_gdir_m1.json"),
+        "mnv1_pc_margin2": load("/tmp/r5_gdir_mnv1.json"),
+    }
+    grad = {k: v for k, v in grad.items() if v} or load(
+        "/tmp/r5_grad_direction.json")
 
     payload = {
         "study": "r5 full-NITI MobileNetV2: blocker found and FIXED "

@@ -78,11 +78,17 @@ def main():
             "where int8's advantage is bytes only. The recompute-requant "
             "lever that lifted MNv2 (+14%, r4) measures NEGATIVE on "
             "LeNet's spatial-conv shapes (0.2-0.8x, "
-            "tools/probes/recompute_requant_probe.py), so the ratio is "
-            "structural at this model size: the headline vs_baseline now "
-            "reports the model-zoo geomean where the MXU actually gets "
-            "fed (BENCH_DETAIL_r04: lenet 1.15, mnv2 1.76, resnet18 "
-            "1.58)."),
+            "tools/probes/recompute_requant_probe.py), and the r5 "
+            "batch-on-lanes probe closes the last untried lever: packing "
+            "batch into the dead lanes of the dense 5x5 convs "
+            "(block-diagonal group GEMM, the d32 analog) loses 12-120x "
+            "to the XLA conv lowering (conv1 0.133 vs 1.67 ms groupdiag, "
+            "conv2 0.021 vs 2.57 ms; tools/probes/lenet_blanes_probe.py "
+            "— the im2col materialization alone dwarfs any "
+            "lane-occupancy gain). The ratio is structural at this model "
+            "size: the headline vs_baseline reports the model-zoo "
+            "geomean where the MXU actually gets fed (BENCH_DETAIL_r04: "
+            "lenet 1.135, mnv2 1.712, resnet18 1.584)."),
     }
     for name, batch in (("mobilenet_v2", 256), ("resnet18", 256),
                         ("lenet", 2048)):

@@ -233,15 +233,17 @@ def main():
     # below scale linearly if another chip's BW is substituted
     rows = []
 
-    def add(kernel, n, dt, tops, exact=None, spill_bytes=None):
-        """exact=None (no requant) | "recompute" (contraction runs twice,
-        ceiling peak/2) | "materialize" (contraction once + int32 acc
-        spill: ceiling = max(compute-once time, spill_bytes/HBM_BW)).
-        Mode-correct per-row ceilings — r5, VERDICT r4 task 5: the old
-        artifact applied the two-pass peak/2 ceiling to every row, which
-        stopped describing the shipping config once the r4 residence
-        policy made the expansion 1x1s recompute and everything else
-        materialize."""
+    def add(kernel, n, dt, tops, exact=None, spill_bytes=None,
+            stream_bytes=None):
+        """exact=None (no requant) | "recompute" (contraction runs TWICE,
+        acc never in HBM: ceiling = max(2x compute time, stream_bytes/BW
+        where stream_bytes = 2*in + out)) | "materialize" (contraction
+        once + int32 acc spill: ceiling = max(compute-once time,
+        spill_bytes/BW)). Mode-correct per-row ceilings — r5, VERDICT r4
+        task 5: the old artifact applied the two-pass peak/2 ceiling to
+        every row, which stopped describing the shipping config once the
+        r4 residence policy made the expansion 1x1s recompute and
+        everything else materialize."""
         row = {
             "kernel": kernel,
             "n": n,
@@ -252,8 +254,11 @@ def main():
         if exact is not None:
             flops = tops * 1e12 * dt
             if exact == "recompute":
-                ceil_t = flops / (peak * 1e12 / 2)
-                row["ceiling"] = "2x-compute (recompute residence)"
+                t_cmp2 = flops / (peak * 1e12 / 2)
+                t_hbm = (stream_bytes or 0) / hbm_bw
+                ceil_t = max(t_cmp2, t_hbm)
+                row["ceiling"] = ("2x-compute" if t_cmp2 > t_hbm
+                                  else "stream-hbm (recompute residence)")
             else:
                 t_hbm = (spill_bytes or 0) / hbm_bw
                 t_cmp = flops / (peak * 1e12)
@@ -275,7 +280,7 @@ def main():
             spill_bytes=11 * n * n)
         dt, tops = bench_matmul_requant_fused(n)
         add("matmul_int8_fused2phase+requant", n, dt, tops,
-            exact="recompute")
+            exact="recompute", stream_bytes=2 * 2 * n * n + n * n)
     for backend in ("xla", "pallas"):
         dt, tops = bench_conv_requant(backend)
         nelt = 256 * 32 * 32 * 64
@@ -283,8 +288,9 @@ def main():
             exact="materialize", spill_bytes=10 * nelt)
     try:
         dt, tops = bench_expand_requant()
+        nin = 256 * 32 * 32 * 24
         add("expand1x1_b256_32x32_24to144+requant", 0, dt, tops,
-            exact="recompute")
+            exact="recompute", stream_bytes=2 * nin + nin * 6)
     except Exception as e:
         rows.append({"kernel": "expand1x1_b256_32x32_24to144+requant",
                      "error": f"{type(e).__name__}: {e}"[:120]})

@@ -83,6 +83,36 @@ def main():
     payload = {
         "study": "r5 full-NITI MobileNetV2: blocker found and FIXED "
                  "(gradient-requant margin, not forward precision)",
+        "headline": {
+            "recipe": "mobilenet_v2_niti(dw_per_channel=True) + "
+                      "set_fgrad_margin(1) + set_dw_fgrad_margin(1) "
+                      "(MobilenetV2Train demo ships it)",
+            "ablation_60ep_digits_cifar": {
+                "per_tensor_margin2 (r4)": "chance",
+                "per_channel_margin2": "chance, loss rises 4->12",
+                "int16proj_pc_margin2": "chance (75-85 dB projection "
+                                        "SQNR: precision ruled out)",
+                "per_tensor_margin0": "chance (margin alone "
+                                      "insufficient)",
+                "per_channel_margin1": 0.9844,
+                "per_channel_margin0": "0.9719 (best 0.9875)",
+                "int16proj_pc_margin0_2seeds": "0.9187/0.9781 (best "
+                                               "0.9875/0.9906)",
+                "fp32_bn_control_2seeds": "0.7688/0.6625 (best "
+                                          "0.8531/0.9437)",
+            },
+            "mechanism_cos_int_vs_float_twin_grad": {
+                "mnv2_pc_margin2": "median cos 0.247@ep5 -> -0.163@ep20 "
+                                   "(updates anti-align: the rising-loss "
+                                   "signature)",
+                "mnv2_pc_margin1": "median cos 0.330@ep20 (aligned)",
+                "mnv1_pc_margin2": "median cos 0.578@ep20 (healthy - "
+                                   "why MNv1 tolerates the reference "
+                                   "margin)",
+            },
+            "mnv1_parity": "MNv1-NITI-pc 60ep: 0.9656/0.9781 final "
+                           "(2 seeds) vs fp32 best 0.5312/0.725",
+        },
         "probes": ["tools/probes/mnv2_bottleneck_probe.py",
                    "tools/probes/fp32_controls_probe.py",
                    "tools/probes/grad_direction_probe.py"],

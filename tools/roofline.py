@@ -309,6 +309,14 @@ def main():
         "device": jax.devices()[0].device_kind,
         "rows": rows,
         "hbm_bw_gbps": hbm_bw / 1e9,
+        "expand_row_caveat": (
+            "the expand1x1 row measures ~1.1 ms in THIS isolated "
+            "fori-loop harness vs 0.24 ms in-context (r4 "
+            "recompute_requant_probe2 / the MNv2 step profile) — the "
+            "dep-threaded slice feeding the next iteration changes "
+            "XLA's layout/fusion choices for this op; read the "
+            "in-context number for the shipping config, this row only "
+            "shows the harness floor"),
         "notes": 'Timing: device-side dep-threaded loops, median of 3 long-minus-short differentials (relay dispatch jitter still inflates sub-0.1 ms rows; n=2048 matmul reads >100% of peak — read the n=4096 and conv rows). frac_exact_roofline is MODE-CORRECT per row (r5): the exact-NITI requant needs the global max|acc| before any element shifts, so an op either computes the contraction twice ("recompute" residence — ceiling peak/2; the shipping mode for the MNv2 expansion 1x1s and the fused two-phase Pallas kernels) or computes once and spills the int32 accumulator ("materialize" — ceiling max(compute-once, spill-bytes/HBM BW); the shipping mode for spatial convs, square GEMMs, and depthwise). The dw rows are VPU work (no channel contraction): their MXU-peak fraction is definitionally tiny; they compare the two surviving XLA formulations (taps vs grouped — see README kernel finding; the r3 batch-on-lanes Pallas dw kernel measured 2x slower than either and was removed in r4).',
     }
     if args.out:

@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--out", required=True, help="output checkpoint .npz")
     ap.add_argument("--check", action="store_true",
                     help="run one integer train step before saving")
+    ap.add_argument("--dw-per-channel", action="store_true",
+                    help="upgrade imported depthwise layers to per-channel "
+                         "weight exponents (half of the integer-MobileNet "
+                         "training recipe, DIVERGENCE_r05.json; pair with "
+                         "fgrad margins <= 1 when fine-tuning integer-only)")
     args = ap.parse_args()
 
     fmt = args.format or EXT.get(Path(args.input).suffix.lower())
@@ -70,6 +75,13 @@ def main():
 
         model, params = niti_model_from_caffemodel(
             args.input, input_shape=shape, output=args.output)
+
+    if args.dw_per_channel:
+        from mandheling_tpu.nn.transform import dw_to_per_channel
+
+        model, params = dw_to_per_channel(model, params)
+        n_pc = sum(getattr(l, "per_channel", False) for l in model.layers)
+        print(f"dw-per-channel: upgraded {n_pc} depthwise layers")
 
     kinds = [type(l).__name__ for l in model.layers]
     print(f"imported {len(kinds)} NITI layers: {kinds}")

@@ -56,16 +56,29 @@ def use_grad_allreduce(mode: str):
         _MODE = prev
 
 
-def grad_allreduce_requant(acc: jax.Array, axis_name, margin: int) -> jax.Array:
+def grad_allreduce_requant(acc: jax.Array, axis_name, margin: int,
+                           pc_shift: jax.Array = None) -> jax.Array:
     """Combine per-replica int32 gradient accumulators across `axis_name`
     and requantize to the int8 NITI gradient (shift = bw - margin).
 
-    With axis_name None this is just the local requant."""
+    With axis_name None this is just the local requant.
+
+    `pc_shift` (the per-channel depthwise alignment, a broadcastable
+    int32 array of right-shift amounts) is applied AFTER the
+    cross-replica sum: truncating division does not commute with
+    addition, so shifting each replica's partial accumulator locally
+    would break the bit-identity-to-single-chip contract (found by
+    tests/test_parallel.py::test_dp_bit_identical_mnv2_recipe, r5)."""
+
+    def _shift(a):
+        return a if pc_shift is None else numerics.trunc_shift_div(a, pc_shift)
+
     if axis_name is None:
+        acc = _shift(acc)
         bw = numerics.range_estimate(acc)
         return numerics.requant_grad_from_bw(acc, bw, margin)
     if _MODE == "int32":
-        acc = jax.lax.psum(acc, axis_name)
+        acc = _shift(jax.lax.psum(acc, axis_name))
         bw = numerics.range_estimate(acc)
         return numerics.requant_grad_from_bw(acc, bw, margin)
     # int8: exponent-align, quantize, sum narrow
@@ -76,6 +89,6 @@ def grad_allreduce_requant(acc: jax.Array, axis_name, margin: int) -> jax.Array:
     # |psto(acc, bw_g + log2n - 7)| <= 2^(7 - log2n), so the N-replica sum
     # stays within int8 range — the wire dtype really is int8
     aligned = numerics.psto_shift_int8(acc, bw_g + log2n - 7)
-    s = jax.lax.psum(aligned, axis_name).astype(jnp.int32)
+    s = _shift(jax.lax.psum(aligned, axis_name).astype(jnp.int32))
     bw_s = numerics.range_estimate(s)
     return numerics.requant_grad_from_bw(s, bw_s, margin)

@@ -381,13 +381,17 @@ def dwconv2d_filter_grad(
         )  # (1, kh', kw', C); only the leading kh x kw taps belong to the
         # kernel when stride > 1 (same slice as the dense fgrad)
         acc = acc[:, :kh, :kw, :].transpose(1, 2, 0, 3)  # (kh, kw, 1, C)
+        pc_shift = None
         if w_exp is not None and w_exp.ndim > 0:
-            _, pc_shift = _per_channel_shifts(w_exp, kh * kw)
-            acc = numerics.trunc_shift_div(acc, pc_shift[None, None, None, :])
+            _, pc_vec = _per_channel_shifts(w_exp, kh * kw)
+            # applied after the cross-replica psum inside the allreduce
+            # (truncating division does not commute with addition)
+            pc_shift = pc_vec[None, None, None, :]
         from . import allreduce
 
         return allreduce.grad_allreduce_requant(acc, axis_name,
-                                                margin=_DW_FGRAD_MARGIN)
+                                                margin=_DW_FGRAD_MARGIN,
+                                                pc_shift=pc_shift)
 
 
 def avgpool2d_int8(

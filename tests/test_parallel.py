@@ -137,3 +137,40 @@ def test_dp_multi_step_and_eval(setup):
     bx_s, by_s = shard_batch(mesh, bx, by)
     correct = int(dp_eval(p, bx_s, by_s))
     assert 0 <= correct <= 64
+
+
+def test_dp_bit_identical_mnv2_recipe():
+    """DP bit-identity for the full r5 MNv2 stack in one program:
+    per-channel dw exponent alignment, int16 linear projections
+    (out_bits=15), fused relu6 masks, residual adds, and fgrad margin 1
+    — every range estimate pmax'd, every grad accumulator psum'd before
+    its single shift (DIVERGENCE_r05.json recipe under the mesh)."""
+    from mandheling_tpu.models.mobilenet import mobilenet_v2_niti
+    from mandheling_tpu.ops import conv as conv_ops
+    from mandheling_tpu.ops import depthwise as dw_ops
+
+    conv_ops.set_fgrad_margin(1)
+    dw_ops.set_dw_fgrad_margin(1)
+    try:
+        model = mobilenet_v2_niti(width_mult=0.25, dw_per_channel=True,
+                                  proj_bits=15)
+        params = model.init(jax.random.PRNGKey(1))
+        rng = np.random.default_rng(1)
+        bx = jnp.asarray(rng.normal(0, 1, (32, 32, 32, 3)), jnp.float32)
+        oh = jnp.asarray(onehot_padded(rng.integers(0, 10, 32), 10, 12))
+
+        single = jit_train_step(model)
+        p_single, loss_single = single(jax.tree.map(jnp.copy, params), bx, oh)
+
+        mesh = data_mesh(8)
+        dp_step = make_dp_train_step(model, mesh, donate=False)
+        p_rep = replicate(mesh, params)
+        bx_s, oh_s = shard_batch(mesh, bx, oh)
+        p_dp, loss_dp = dp_step(p_rep, bx_s, oh_s)
+
+        assert abs(float(loss_single) - float(loss_dp)) < 1e-6
+        for a, b in zip(jax.tree.leaves(p_single), jax.tree.leaves(p_dp)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    finally:
+        conv_ops.set_fgrad_margin(2)
+        dw_ops.set_dw_fgrad_margin(2)

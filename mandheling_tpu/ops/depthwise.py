@@ -147,11 +147,11 @@ def get_dw_impl() -> str:
 # NITI contract uses margin=2 (NITI_GradientConv_Int8.cpp:274-296), but
 # depthwise is THIS framework's extension — the reference has no NITI
 # depthwise op and trains its MobileNets in fp32. r5 finding
-# (DIVERGENCE_r05.json): full-NITI MobileNetV2 needs margins <= 1 (dense
-# AND dw, with per-channel dw exponents) — the requant keeps ~margin+1
-# top bits, and the bottleneck's expanded fan-in makes +-4-unit updates
-# (margin 2) destructive. MNv1 trains at the default 2; the
-# MobilenetV2Train demo sets 1/1.
+# (DIVERGENCE_r05.json): full-NITI MobileNetV2 needs margin 0 (dense AND
+# dw, with per-channel dw exponents) — the requant keeps ~margin+1 top
+# bits, and the bottleneck's expanded fan-in makes +-4-unit updates
+# (margin 2) destructive; margin 1 is seed-marginal. MNv1 trains at the
+# default 2; the MobilenetV2Train demo sets 0/0.
 _DW_FGRAD_MARGIN = 2
 
 

@@ -344,8 +344,9 @@ def test_fgrad_margin_scales_update_magnitude():
 
 
 def test_mnv2_train_demo_recipe_restores_margins():
-    """MobilenetV2Train sets the r5 margins (1/1) for its run and
-    restores the reference defaults afterwards."""
+    """MobilenetV2Train sets the r5 margins (0/0 — margin 1 measured
+    seed-marginal) for its run and restores the reference defaults
+    afterwards."""
     import os as _os
     import sys as _sys
 
@@ -374,6 +375,6 @@ def test_mnv2_train_demo_recipe_restores_margins():
                                                   epochs=1))
     finally:
         trainer.train_niti = orig
-    assert seen == {"dense": 1, "dw": 1, "pc": True}
+    assert seen == {"dense": 0, "dw": 0, "pc": True}
     assert conv_ops.get_fgrad_margin() == 2
     assert dw_ops.get_dw_fgrad_margin() == 2

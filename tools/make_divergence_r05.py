@@ -71,6 +71,8 @@ def main():
         "pt_m00": load("/tmp/r5_m00_pt.json"),
         "int16_pc_m11": load("/tmp/r5_m11_i16pc.json"),
         "pc_m11": load("/tmp/r5_margin11_pc.json"),
+        "pc_m11_seed1": load("/tmp/r5_m11_pc_s1.json"),
+        "pc_m00_seed1": load("/tmp/r5_m00_pc_s1.json"),
     }
     grad = {
         "mnv2_pc_margin2": load("/tmp/r5_gdir_m2.json"),
@@ -85,8 +87,9 @@ def main():
                  "(gradient-requant margin, not forward precision)",
         "headline": {
             "recipe": "mobilenet_v2_niti(dw_per_channel=True) + "
-                      "set_fgrad_margin(1) + set_dw_fgrad_margin(1) "
-                      "(MobilenetV2Train demo ships it)",
+                      "set_fgrad_margin(0) + set_dw_fgrad_margin(0) "
+                      "(MobilenetV2Train demo ships it; margin 1 is "
+                      "seed-marginal — see the ablation)",
             "ablation_60ep_digits_cifar": {
                 "per_tensor_margin2 (r4)": "chance",
                 "per_channel_margin2": "chance, loss rises 4->12",
@@ -94,8 +97,10 @@ def main():
                                         "SQNR: precision ruled out)",
                 "per_tensor_margin0": "chance (margin alone "
                                       "insufficient)",
-                "per_channel_margin1": 0.9844,
-                "per_channel_margin0": "0.9719 (best 0.9875)",
+                "per_channel_margin1_2seeds": "0.9844 / CHANCE (0.1031) "
+                                              "- seed-marginal",
+                "per_channel_margin0_2seeds": "0.9719/0.9844 (best "
+                                              "0.9875/0.9844)",
                 "int16proj_pc_margin0_2seeds": "0.9187/0.9781 (best "
                                                "0.9875/0.9906)",
                 "fp32_bn_control_2seeds": "0.7688/0.6625 (best "

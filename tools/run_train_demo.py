@@ -214,25 +214,27 @@ def mobilenet_v2_train(args):
     (its MNv2 demos are fp32/QAT).
 
     The r5 recipe (DIVERGENCE_r05.json): per-channel depthwise weight
-    exponents AND filter-grad requant margins 1/1. The two are jointly
-    necessary — per-tensor dw at any margin stays at chance, and
-    per-channel dw at the reference margin 2 stays at chance with RISING
-    loss (the bottleneck's 6x-expanded fan-in makes ~+-4-unit integer
-    updates destructive). With both: 0.98 on digits-CIFAR at 60 epochs,
-    ABOVE the fp32+BN comparator (best 0.85/0.94) on the same protocol.
-    Forward precision was ruled out first: int16 projection outputs
-    (requant SQNR 75-85 dB) changed nothing. Expect a ~12-epoch
-    chance-level plateau before breakout; use 40+ epochs."""
+    exponents AND filter-grad requant margins 0/0 (+-1 integer updates).
+    The two are jointly necessary — per-tensor dw at any margin stays at
+    chance, and per-channel dw at the reference margin 2 stays at chance
+    with RISING loss (the bottleneck's 6x-expanded fan-in makes
+    ~+-4-unit integer updates destructive; margin 1 is seed-marginal:
+    0.98 on one seed, chance on another). With margins 0/0: 0.97/0.98
+    across 2 seeds on digits-CIFAR at 60 epochs, ABOVE the fp32+BN
+    comparator (best 0.85/0.94) on the same protocol. Forward precision
+    was ruled out first: int16 projection outputs (requant SQNR 75-85
+    dB) changed nothing. Expect a ~10-epoch chance-level plateau before
+    breakout; use 40+ epochs."""
     from mandheling_tpu.data.cifar import load_or_synthesize_cifar
     from mandheling_tpu.models import mobilenet_v2_niti
     from mandheling_tpu.ops import conv as conv_ops
     from mandheling_tpu.ops import depthwise as dw_ops
     from mandheling_tpu.train.trainer import train_niti
 
-    conv_ops.set_fgrad_margin(1)
-    dw_ops.set_dw_fgrad_margin(1)
+    conv_ops.set_fgrad_margin(0)
+    dw_ops.set_dw_fgrad_margin(0)
     print("(full-NITI MNv2 recipe: per-channel dw exponents + fgrad "
-          "margins 1/1 — see DIVERGENCE_r05.json; breakout needs ~12+ "
+          "margins 0/0 — see DIVERGENCE_r05.json; breakout needs ~10+ "
           "epochs)")
     xtr, ytr, real = load_or_synthesize_cifar(args.root, train=True,
                                               synth_n=512)

@@ -72,6 +72,9 @@ def float_forward(model, fparams, x):
             return x
         if isinstance(layer, ResidualBlock):
             return x + apply(layer.branch, p, x)
+        if type(layer).__name__ == "ProjectedResidualBlock":
+            return (apply(layer.branch, p["branch"], x)
+                    + apply(layer.proj, p["proj"], x))
         if isinstance(layer, ParallelAdd):
             outs = [apply(br, bp, x) for br, bp in zip(layer.branches, p)]
             return sum(outs[1:], outs[0])

@@ -73,11 +73,13 @@ def main():
         "pc_m11": load("/tmp/r5_margin11_pc.json"),
         "pc_m11_seed1": load("/tmp/r5_m11_pc_s1.json"),
         "pc_m00_seed1": load("/tmp/r5_m00_pc_s1.json"),
+        "pc_m00_seed2": load("/tmp/r5_m00_pc_s2.json"),
     }
     grad = {
         "mnv2_pc_margin2": load("/tmp/r5_gdir_m2.json"),
         "mnv2_pc_margin1": load("/tmp/r5_gdir_m1.json"),
         "mnv1_pc_margin2": load("/tmp/r5_gdir_mnv1.json"),
+        "resnet18_margin2": load("/tmp/r5_gdir_rn18.json"),
     }
     grad = {k: v for k, v in grad.items() if v} or load(
         "/tmp/r5_grad_direction.json")
@@ -99,8 +101,9 @@ def main():
                                       "insufficient)",
                 "per_channel_margin1_2seeds": "0.9844 / CHANCE (0.1031) "
                                               "- seed-marginal",
-                "per_channel_margin0_2seeds": "0.9719/0.9844 (best "
-                                              "0.9875/0.9844)",
+                "per_channel_margin0_3seeds": "0.9719/0.9844/0.9719 "
+                                              "(best 0.9875/0.9844/"
+                                              "0.9969)",
                 "int16proj_pc_margin0_2seeds": "0.9187/0.9781 (best "
                                                "0.9875/0.9906)",
                 "fp32_bn_control_2seeds": "0.7688/0.6625 (best "
@@ -114,6 +117,10 @@ def main():
                 "mnv1_pc_margin2": "median cos 0.578@ep20 (healthy - "
                                    "why MNv1 tolerates the reference "
                                    "margin)",
+                "resnet18_margin2": "median cos 0.349@ep20 (healthy "
+                                    "calibration: trains to 0.97 at "
+                                    "this level; only the NEGATIVE "
+                                    "median is pathological)",
             },
             "mnv1_parity": "MNv1-NITI-pc 60ep: 0.9656/0.9781 final "
                            "(2 seeds) vs fp32 best 0.5312/0.725",

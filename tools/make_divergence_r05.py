@@ -177,16 +177,17 @@ def main():
         "gradient_direction_probe": grad or "not run",
         "imagenet_geometry_validation": {
             "description": (
-                "the recipe at the reference benchmark geometry "
-                "(variant='imagenet', 224x224, 1000 classes, b32, TPU "
-                "v5e): single-batch losses fall from first step — the "
-                "integer updates work at full geometry, not just the "
-                "CIFAR-scale study config (no-egress sandbox: no "
-                "ImageNet data for a full run)"),
+                "the shipped recipe (per-channel dw, margins 0/0) at "
+                "the reference benchmark geometry (variant='imagenet', "
+                "224x224, 1000 classes, b32, TPU v5e): single-batch "
+                "losses fall from the first step — the integer updates "
+                "work at full geometry, not just the CIFAR-scale study "
+                "config (no-egress sandbox: no ImageNet data for a "
+                "full run)"),
             "mnv2_imagenet224_fixed_batch_losses": [
-                8.885, 7.353, 7.209, 6.691, 6.075, 5.937],
+                8.885, 7.576, 7.439, 7.116, 6.971, 6.290],
             "mnv1_imagenet224_fixed_batch_losses": [
-                6.888, 6.818, 6.579, 6.251, 6.151, 5.842],
+                6.888, 6.863, 6.819, 6.719, 6.554, 6.403],
         },
     }
     with open(out_path, "w") as f:

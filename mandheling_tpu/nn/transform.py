@@ -8,7 +8,7 @@ with hand-built models alike.
 
 `dw_to_per_channel` upgrades depthwise layers to per-channel weight
 exponents — one half of the measured integer-MobileNet training recipe
-(DIVERGENCE_r05.json: per-channel dw + fgrad margins <= 1; imported
+(DIVERGENCE_r05.json: per-channel dw + fgrad margins 0/0; imported
 per-tensor MobileNets would otherwise hit the r4 chance-accuracy
 blocker when fine-tuned integer-only).
 """

@@ -48,7 +48,7 @@ def main():
                     help="upgrade imported depthwise layers to per-channel "
                          "weight exponents (half of the integer-MobileNet "
                          "training recipe, DIVERGENCE_r05.json; pair with "
-                         "fgrad margins <= 1 when fine-tuning integer-only)")
+                         "fgrad margins 0/0 when fine-tuning integer-only)")
     args = ap.parse_args()
 
     fmt = args.format or EXT.get(Path(args.input).suffix.lower())

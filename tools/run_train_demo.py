@@ -258,9 +258,10 @@ def mobilenet_v1_train(args):
     """Full-NITI int8 MobileNetV1 on CIFAR-10 (CIFAR bin root or synthetic
     fallback). Uses per-channel depthwise weight exponents
     (dw_per_channel=True) — the r4 finding that makes integer-only
-    MobileNetV1 training converge (DIVERGENCE_r04.json: 0.86 final / 0.90
-    best at 40 epochs vs chance for per-tensor). The reference never
-    trains any MobileNet integer-only (its demos are fp32/QAT,
+    MobileNetV1 training converge; at 60 epochs it reaches 0.966/0.978
+    across 2 seeds, ABOVE its fp32+BN comparator on the same protocol
+    (best 0.53/0.73; DIVERGENCE_r05.json mnv1_parity). The reference
+    never trains any MobileNet integer-only (its demos are fp32/QAT,
     demo/MobilenetV2Utils.cpp)."""
     from mandheling_tpu.data.cifar import load_or_synthesize_cifar
     from mandheling_tpu.models import mobilenet_v1_niti

@@ -16,8 +16,16 @@ Config schema (all fields optional):
   "steps": 50, "batch": 64, "seed": 0,
   "data": {"kind": "synthetic" | "mnist" | "cifar10", "root": null},
   "lr": 0.01,
-  "max_final_loss_ratio": 0.9    # final loss must be < ratio * initial
+  "max_final_loss_ratio": 0.9,   # final loss must be < ratio * initial
+  "model_args": {},              # kwargs for the model constructor, e.g.
+                                 # {"dw_per_channel": true}
+  "fgrad_margin": null,          # dense filter-grad requant margin
+  "dw_fgrad_margin": null        # depthwise filter-grad requant margin
 }
+
+The solved integer-MobileNetV2 recipe (DIVERGENCE_r05.json) as a config:
+{"model": "mobilenet_v2_niti", "model_args": {"dw_per_channel": true},
+ "fgrad_margin": 0, "dw_fgrad_margin": 0}
 
 Exit code 0 and a PASS line iff mean loss over the last 10% of steps is
 below max_final_loss_ratio * mean loss over the first 10%.
@@ -39,6 +47,9 @@ DEFAULTS = {
     "data": {"kind": "synthetic", "root": None},
     "max_final_loss_ratio": 0.9,
     "lr": 0.01,
+    "model_args": {},
+    "fgrad_margin": None,
+    "dw_fgrad_margin": None,
 }
 
 NITI_MODELS = {
@@ -128,8 +139,17 @@ def main():
                 params, vel, loss = step(params, vel, jnp.asarray(bx), jnp.asarray(oh))
                 losses.append(float(loss))
         else:
+            if cfg["fgrad_margin"] is not None:
+                from mandheling_tpu.ops import conv as conv_ops
+
+                conv_ops.set_fgrad_margin(int(cfg["fgrad_margin"]))
+            if cfg["dw_fgrad_margin"] is not None:
+                from mandheling_tpu.ops import depthwise as dw_ops
+
+                dw_ops.set_dw_fgrad_margin(int(cfg["dw_fgrad_margin"]))
             mod_name, fn_name, _, logits_w = NITI_MODELS[cfg["model"]]
-            model = getattr(importlib.import_module(mod_name), fn_name)()
+            model = getattr(importlib.import_module(mod_name), fn_name)(
+                **(cfg["model_args"] or {}))
             from mandheling_tpu.train.train_step import jit_train_step
 
             params = model.init(jax.random.PRNGKey(cfg["seed"]))
